@@ -1,13 +1,18 @@
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware.  Env vars must be set before jax imports.
+# exercised without TPU hardware.  The axon TPU plugin in this environment
+# ignores the JAX_PLATFORMS env var, so force CPU through jax.config (must
+# happen before any backend is initialized).
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
