@@ -1,0 +1,230 @@
+"""Note/event data model and MIDI-event utilities.
+
+Counterpart of the event-processing half of the reference data layer
+(``transkun/Data.py:20-229``): the ``Note`` record (negative pitch = pedal CC
+number), control-change switch parsing, sustain-pedal note extension,
+same-pitch overlap resolution, and invariant validation.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import List, Optional, Sequence
+
+
+class Note:
+    """A note or pedal event.  Negative pitch encodes a pedal as -CC number
+    (64 sustain, 66 sostenuto, 67 una corda); velocity in 0..127.  The
+    hasOnset/hasOffset flags mark whether the endpoint is real or an artifact
+    of segment/chunk truncation (ref ``Data.py:20-30``)."""
+
+    __slots__ = ("start", "end", "pitch", "velocity", "hasOnset", "hasOffset")
+
+    def __init__(self, start, end, pitch, velocity, hasOnset=True, hasOffset=True):
+        self.start = start
+        self.end = end
+        self.pitch = pitch
+        self.velocity = velocity
+        self.hasOnset = hasOnset
+        self.hasOffset = hasOffset
+
+    def copy(self) -> "Note":
+        return Note(
+            self.start, self.end, self.pitch, self.velocity, self.hasOnset, self.hasOffset
+        )
+
+    def __repr__(self):
+        return str(
+            {
+                "start": self.start,
+                "end": self.end,
+                "pitch": self.pitch,
+                "velocity": self.velocity,
+                "hasOnset": self.hasOnset,
+                "hasOffset": self.hasOffset,
+            }
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Note)
+            and self.start == other.start
+            and self.end == other.end
+            and self.pitch == other.pitch
+            and self.velocity == other.velocity
+            and self.hasOnset == other.hasOnset
+            and self.hasOffset == other.hasOffset
+        )
+
+
+def _sort_key(n: Note):
+    return (n.start, n.end, n.pitch)
+
+
+class ControlChange:
+    """Minimal CC record: (number, value, time)."""
+
+    __slots__ = ("number", "value", "time")
+
+    def __init__(self, number, value, time):
+        self.number = number
+        self.value = value
+        self.time = time
+
+    def __repr__(self):
+        return f"CC({self.number}, {self.value}, {self.time})"
+
+
+def parse_control_change_switch(
+    cc_seq: Sequence[ControlChange],
+    control_number: int,
+    on_threshold: int = 64,
+    end_t: Optional[float] = None,
+) -> List[Note]:
+    """CC stream -> on/off interval events at the on/off threshold
+    (ref ``Data.py:32-74``).  Pedal events carry velocity 127 and
+    pitch = -control_number."""
+    running = False
+    events: List[Note] = []
+    current: Optional[Note] = None
+    time = 0.0
+    for c in cc_seq:
+        status = running
+        if c.number == control_number:
+            time = c.time
+            status = c.value >= on_threshold
+        if running != status:
+            if status:
+                current = Note(time, None, -control_number, 127)
+            else:
+                current.end = time
+                events.append(current)
+        running = status
+    if running and end_t is not None:
+        current.end = max(end_t, time)
+        if current.end > current.start:
+            events.append(current)
+    return events
+
+
+def extend_pedal(note_events: List[Note], pedal_events: List[Note]) -> List[Note]:
+    """Extend each note's offset to the release of the sustain pedal holding
+    it; re-truncate on re-onset of the same pitch (ref ``Data.py:130-168``)."""
+    note_events = sorted(note_events, key=_sort_key)
+    pedal_events = sorted(pedal_events, key=_sort_key)
+    out: List[Note] = []
+    buffer_idx = {}
+    n_in = len(note_events)
+    for i, n in enumerate(note_events):
+        if n.pitch in buffer_idx:
+            prev = out[buffer_idx[n.pitch]]
+            if prev.end > n.start:
+                prev.end = n.start
+        for pedal in pedal_events:
+            if pedal.start < n.end < pedal.end:
+                n.end = pedal.end
+        buffer_idx[n.pitch] = i
+        out.append(n)
+    out.sort(key=_sort_key)
+    assert len(out) == n_in
+    out = resolve_overlapping(out)
+    validate_notes(out)
+    return out
+
+
+def resolve_overlapping(note_events: List[Note]) -> List[Note]:
+    """Truncate same-pitch overlaps at the next onset and drop zero-length
+    notes (ref ``Data.py:170-215``)."""
+    note_events = sorted(note_events, key=_sort_key)
+    out: List[Note] = []
+    buffer_idx = {}
+    for i, n in enumerate(note_events):
+        if n.pitch in buffer_idx:
+            prev = out[buffer_idx[n.pitch]]
+            if prev.end > n.start:
+                prev.end = n.start
+        buffer_idx[n.pitch] = i
+        out.append(n)
+    out.sort(key=_sort_key)
+    out = [n for n in out if n.start < n.end]
+    validate_notes(out)
+    return out
+
+
+def validate_notes(notes: Sequence[Note]) -> None:
+    """Per-pitch monotonicity and positive-length invariants
+    (ref ``Data.py:218-227``)."""
+    last = {}
+    for n in notes:
+        if n.pitch in last:
+            assert n.start >= last[n.pitch].end, f"{n} overlaps {last[n.pitch]}"
+        assert n.start < n.end, n
+        last[n.pitch] = n
+
+
+def parse_event_all(
+    notes_list: Sequence[Note],
+    cc_list: Sequence[ControlChange],
+    supported_cc: Sequence[int] = (64, 66, 67),
+    extend_sustain_pedal: bool = True,
+    pedal_ext_offset: float = 0.0,
+) -> List[Note]:
+    """Notes + CC streams -> unified event list with pedal tracks and optional
+    sustain-pedal note extension (ref ``Data.py:76-128``)."""
+    notes_list = [n.copy() for n in notes_list]
+    notes_list.sort(key=_sort_key)
+    for n in notes_list:
+        assert n.start < n.end
+    last_t = max(n.end for n in notes_list)
+
+    if extend_sustain_pedal:
+        sustain = parse_control_change_switch(cc_list, 64, end_t=last_t)
+        sustain.sort(key=_sort_key)
+        if pedal_ext_offset != 0.0:
+            for n in sustain:
+                n.start += pedal_ext_offset
+                n.end += pedal_ext_offset
+        notes_list = extend_pedal(notes_list, sustain)
+    else:
+        notes_list = resolve_overlapping(notes_list)
+    validate_notes(notes_list)
+
+    event_seqs = [notes_list]
+    for cc in supported_cc:
+        event_seqs.append(parse_control_change_switch(cc_list, cc, end_t=last_t))
+    events = [e for seq in event_seqs for e in seq]
+    events.sort(key=_sort_key)
+    return events
+
+
+def create_index_events(event_list: Sequence[Note]):
+    """Host-side interval index over events for range queries during data
+    loading.  Replaces the reference's ncls dependency (``Data.py:231-248``)
+    with a numpy sweep index: events sorted by start + running max of ends."""
+    import numpy as np
+
+    starts = np.array([e.start for e in event_list], np.float64)
+    ends = np.array([e.end for e in event_list], np.float64)
+    order = np.argsort(starts, kind="stable")
+    starts_s = starts[order]
+    ends_s = ends[order]
+    max_end = np.maximum.accumulate(ends_s)
+    return starts_s, ends_s, max_end, order
+
+
+def query_interval(start: float, end: float, index) -> List[int]:
+    """All events overlapping [start, end) — strict half-open overlap
+    (s < end and e > start), matching the reference interval tree."""
+    import numpy as np
+
+    starts_s, ends_s, max_end, order = index
+    hi = np.searchsorted(starts_s, end, side="left")
+    res = []
+    # walk backwards; prune once the running max end falls below `start`
+    for i in range(hi - 1, -1, -1):
+        if max_end[i] <= start:
+            break
+        if ends_s[i] > start:
+            res.append(int(order[i]))
+    res.reverse()
+    return res

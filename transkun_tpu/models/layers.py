@@ -1,0 +1,255 @@
+"""V2 transformer building blocks (flax.linen), TPU-first layouts.
+
+Counterparts of ``transkun/LayersTransformer.py``.  Everything runs in NHWC /
+channels-last layouts (TPU native); attention is plain XLA dot-product
+attention (sequence lengths here are ~60-240, far below where a custom flash
+kernel pays off — XLA fuses these einsums onto the MXU directly).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def rms_norm(x: Array, eps: float = 1e-6) -> Array:
+    """Scale-free RMSNorm (ref ``LayersTransformer.py:12-19`` — no learned gain)."""
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps)
+
+
+class TiedDropout(nn.Module):
+    """Dropout tied along one axis — drops whole slices (ref ``:22-37``)."""
+
+    rate: float
+    axis: int
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool) -> Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        shape = list(x.shape)
+        shape[self.axis] = 1
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, tuple(shape))
+        return x * mask / keep
+
+
+class SpatialPositionEmbedding(nn.Module):
+    """Random-Fourier-feature positional embedding with a learned MLP on top
+    (ref ``LearnableSpatialPositionEmbedding``, ``:40-86``): cos of a learned
+    linear map of raw coordinates (init N(0, 1/gamma) weights, U(-pi,pi)
+    phase), scaled by 1/sqrt(d/2), then Linear-GELU-Linear."""
+
+    embed_size: int
+    coord_dim: int
+    gamma: float = 10.0
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, coord: Array, deterministic: bool = True) -> Array:
+        # coord: [..., coord_dim] raw (possibly negative) coordinates
+        phi = nn.Dense(
+            self.embed_size,
+            kernel_init=nn.initializers.normal(1.0 / self.gamma),
+            bias_init=nn.initializers.uniform(scale=2 * math.pi),
+            name="proj",
+        )(coord.astype(jnp.float32))
+        # note: flax uniform is [0, scale); torch init is U(-pi, pi).  Same
+        # distribution modulo 2*pi under cos().
+        z = jnp.cos(phi) / math.sqrt(self.embed_size / 2)
+        h = nn.Dense(4 * self.embed_size, name="mlp_0")(z)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.embed_size, name="mlp_1")(h)
+
+
+def grid_coords(*axes: Array) -> Array:
+    """meshgrid(indexing='ij') + stack(-1): [len(a0), ..., n_axes]."""
+    mesh = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack(mesh, axis=-1)
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with separate unbiased q/k/v projections and a biased out
+    projection (ref ``MultiHeadAttentionKernel``, ``:119-190``).  Attends over
+    axis -2 of arbitrarily-batched inputs.  head_dim =
+    ceil(hiddenFactor*embed/num_heads)."""
+
+    embed_dim: int
+    num_heads: int
+    hidden_factor: float = 1.0
+
+    @nn.compact
+    def __call__(self, query: Array, key: Optional[Array] = None) -> Array:
+        if key is None:
+            key = query
+        value = key
+        head_dim = int(math.ceil(math.ceil(self.hidden_factor * self.embed_dim) / self.num_heads))
+        hidden = head_dim * self.num_heads
+
+        dense = lambda name: nn.Dense(
+            hidden, use_bias=False, kernel_init=nn.initializers.xavier_uniform(),
+            name=name,
+        )
+        q = dense("q_proj")(query)
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+
+        def split(x):
+            return jnp.swapaxes(
+                x.reshape(*x.shape[:-1], self.num_heads, head_dim), -2, -3
+            )  # [..., H, S, hd]
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(head_dim)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("...qk,...kd->...qd", attn, v)
+        out = jnp.swapaxes(out, -2, -3).reshape(*query.shape[:-1], hidden)
+        return nn.Dense(self.embed_dim, name="out_proj")(out)
+
+
+def _layer_scale_init(key, shape):
+    return jnp.full(shape, 1e-2, jnp.float32)
+
+
+class AttnResBlock(nn.Module):
+    """Prenorm attention residual with LayerScale init 1e-2 (ref ``:88-99``):
+    x + dropout(MHA(rms_norm(x), mem)) * scale."""
+
+    size: int
+    num_heads: int
+    hidden_factor_attn: float
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, mem, deterministic: bool):
+        scale = self.param("scale", _layer_scale_init, (self.size,))
+        h = MultiHeadAttention(
+            self.size, self.num_heads, self.hidden_factor_attn, name="mha"
+        )(rms_norm(x), mem)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + h * scale
+
+
+class FFNResBlock(nn.Module):
+    """Prenorm FFN residual with LayerScale (ref ``:88-99,224-233``)."""
+
+    size: int
+    hidden_factor: float
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        scale = self.param("scale", _layer_scale_init, (self.size,))
+        hidden = int(math.ceil(self.size * self.hidden_factor))
+        h = nn.Dense(hidden, name="lin1")(rms_norm(x))
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.size, name="lin2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + h * scale
+
+
+class BasicBlock(nn.Module):
+    """Factorized axial attention over a [N, T, F, D] lattice (ref ``:193-372``).
+
+    "F": attention along the frequency/track axis within each timestep;
+    "T": attention along time within each column; optional "All0"/"0All"
+    aggregation-track cross attention and full "FT" attention.  Both
+    attentions inside one block read the block's *input* as keys/values.
+    """
+
+    size: int
+    num_heads: int
+    hidden_factor: float = 2.0
+    hidden_factor_attn: float = 1.0
+    enabled: Tuple[str, ...] = ("F", "T", "All0", "0All")
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        mem = x
+        h = x
+        kw = dict(
+            size=self.size,
+            num_heads=self.num_heads,
+            hidden_factor_attn=self.hidden_factor_attn,
+            dropout=self.dropout,
+        )
+        ffn_kw = dict(
+            size=self.size, hidden_factor=self.hidden_factor, dropout=self.dropout
+        )
+
+        if "F" in self.enabled:
+            h = AttnResBlock(**kw, name="mhaBlockF")(h, mem, deterministic)
+            h = FFNResBlock(**ffn_kw, name="fnnBlockF")(h, deterministic)
+
+        h = jnp.swapaxes(h, -3, -2)  # [N, F, T, D]
+        mem_t = jnp.swapaxes(mem, -3, -2)
+
+        if "T" in self.enabled:
+            h = AttnResBlock(**kw, name="mhaBlockT")(h, mem_t, deterministic)
+            h = FFNResBlock(**ffn_kw, name="fnnBlockT")(h, deterministic)
+
+        if "All0" in self.enabled or "0All" in self.enabled:
+            h0, h1 = h[..., :1, :, :], h[..., 1:, :, :]
+            attn = AttnResBlock(**kw, name="mhaBlockAll0")
+            if "All0" in self.enabled:
+                h1 = attn(h1, mem_t[..., 0:1, :, :], deterministic)
+            if "0All" in self.enabled:
+                flat = mem_t.reshape(*mem_t.shape[:-3], 1, -1, mem_t.shape[-1])
+                h0 = attn(h0, flat, deterministic)
+            h = jnp.concatenate([h0, h1], axis=-3)
+            h = FFNResBlock(**ffn_kw, name="fnnBlockAll0")(h, deterministic)
+
+        if "FT" in self.enabled:
+            nf, nt = h.shape[-3], h.shape[-2]
+            hf = h.reshape(*h.shape[:-3], nf * nt, h.shape[-1])
+            memf = mem_t.reshape(*mem_t.shape[:-3], nf * nt, mem_t.shape[-1])
+            hf = AttnResBlock(**kw, name="mhaBlockFT")(hf, memf, deterministic)
+            hf = FFNResBlock(**ffn_kw, name="fnnBlockFT")(hf, deterministic)
+            h = hf.reshape(*h.shape[:-3], nf, nt, h.shape[-1])
+
+        return jnp.swapaxes(h, -3, -2)
+
+
+class ScaledInnerProductIntervalScorer(nn.Module):
+    """Interval scorer: S[e,b] = <q_e, k_b> * |e-b| + diag (ref ``:381-441``).
+
+    Input ctx [N, P, T, D] -> (S [T, T, N, P], noise [T-1, N, P]); the noise
+    (skip) score is identically zero in V2 (ref ``:436-437``, README design).
+    """
+
+    size: int
+    expansion_factor: int = 1
+    dropout: float = 0.0
+    length_scaling: str = "linear"
+
+    @nn.compact
+    def __call__(self, ctx: Array) -> Tuple[Array, Array]:
+        e = self.size * self.expansion_factor
+        mapped = nn.Dense(2 * e + 1, name="map")(ctx)
+        q, k, diag = jnp.split(mapped, [e, 2 * e], axis=-1)
+        q = q / math.sqrt(q.shape[-1])
+        s = jnp.einsum("iped,ipbd->ipeb", q, k)
+        t = s.shape[-1]
+        len_eb = jnp.abs(jnp.arange(t)[:, None] - jnp.arange(t)[None, :]).astype(s.dtype)
+        if self.length_scaling == "linear":
+            s = s * len_eb
+        elif self.length_scaling == "sqrt":
+            s = s * jnp.sqrt(len_eb)
+        elif self.length_scaling != "none":
+            raise ValueError(self.length_scaling)
+        # diag [N,P,T,1] broadcast against eye [T,T] -> diag_embed
+        s = s + jnp.eye(t, dtype=s.dtype) * diag
+        noise = jnp.zeros_like(diag[..., 1:, 0])
+        s = jnp.transpose(s, (2, 3, 0, 1))  # [T_end, T_begin, N, P]
+        noise = jnp.transpose(noise, (2, 0, 1))  # [T-1, N, P]
+        return s, noise

@@ -1,0 +1,517 @@
+"""TransKun V2: transformer + interval scorer + semi-CRF piano transcription.
+
+TPU-first counterpart of the reference model (``transkun/ModelTransformer.py``).
+Design: one pure flax module computes frames -> mel -> backbone -> scorer on
+device; the semi-CRF loss/decode are pure functions from ``ops.semicrf``; all
+training/inference device programs are static-shaped so each segment size
+compiles exactly once.  Host Python only prepares labels, walks Viterbi
+pointers and assembles MIDI events.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.labels import PaddedLabels, encode_batch, prepare_intervals
+from ..data.note import Note, resolve_overlapping
+from ..ops import distributions as dist
+from ..ops import frontend, semicrf
+from .backbone import Backbone
+from .config import ModelConfig
+from .layers import ScaledInnerProductIntervalScorer
+
+Array = jax.Array
+
+Config = ModelConfig
+
+
+def target_midi_pitches(_conf: ModelConfig = None) -> List[int]:
+    """Event tracks: sustain (-64) and una-corda (-67) pedals + piano keys
+    21..108 -> 90 tracks (ref ``ModelTransformer.py:97``)."""
+    return [-64, -67] + list(range(21, 109))
+
+
+class MelFrontend(nn.Module):
+    """Gain-normalized multi-window log-mel features (GEMM-native DFT).
+
+    Holds the learnable Gaussian window parameters; filterbank/DFT matrices
+    are host constants folded into the compiled program.
+    """
+
+    conf: ModelConfig
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, frames: Array) -> Array:
+        # frames: [N, C, T, W] -> [N, T, n_mels, nWins]
+        conf = self.conf
+        # gain normalization over everything but the batch axis
+        # (ref ``ModelTransformer.py:159-161``; std is the unbiased estimator)
+        mean = jnp.mean(frames, axis=(1, 2, 3), keepdims=True)
+        n_el = frames.shape[1] * frames.shape[2] * frames.shape[3]
+        var = jnp.sum((frames - mean) ** 2, axis=(1, 2, 3), keepdims=True) / max(
+            n_el - 1, 1
+        )
+        frames = (frames - mean) / (jnp.sqrt(var) + 1e-8)
+
+        init = frontend.gaussian_windows_init(conf.nExtraWins)
+        sigma = self.param("win_sigma", lambda k: jnp.asarray(init["sigma"]))
+        center = self.param("win_center", lambda k: jnp.asarray(init["center"]))
+        wins = jnp.concatenate(
+            [
+                frontend.hann_window(conf.windowSize)[None],
+                frontend.gaussian_windows(sigma, center, conf.windowSize),
+            ],
+            axis=0,
+        )
+        fbank = frontend.melscale_fbanks(
+            conf.windowSize // 2 + 1, conf.f_min, conf.f_max, conf.n_mels, conf.fs
+        )
+        cos_m, sin_m, fb_band = frontend.dft_mel_matrices(conf.windowSize, fbank)
+        mel = frontend.mel_spectrum_gemm(
+            frames,
+            wins,
+            jnp.asarray(cos_m),
+            jnp.asarray(sin_m),
+            jnp.asarray(fb_band),
+            log=True,
+            to_mono=True,
+            compute_dtype=self.compute_dtype,
+        )  # [N, 1, T, M, nWins]
+        return mel[:, 0]
+
+
+class MLPHead(nn.Module):
+    hidden: int
+    out: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = nn.Dense(self.hidden, name="lin1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.out, name="lin2")(x)
+
+
+class TransKunModule(nn.Module):
+    """The pure on-device part of the model."""
+
+    conf: ModelConfig
+    compute_dtype: Any = None
+
+    def setup(self):
+        conf = self.conf
+        self.frontend = MelFrontend(conf, self.compute_dtype)
+        self.backbone = Backbone(
+            input_size=conf.nExtraWins + 1,
+            base_size=conf.baseSize,
+            pos_embed_init_gamma=conf.posEmbedInitGamma,
+            n_head=conf.nHead,
+            hidden_factor=conf.hiddenFactor,
+            hidden_factor_attn=conf.hiddenFactorAttn,
+            expansion_factor=conf.scoringExpansionFactor,
+            dropout=conf.contextDropoutProb,
+            n_layers=conf.nLayers,
+            enabled_attn=tuple(conf.enabledAttn),
+            downsample_f=conf.downsampleF,
+        )
+        if not conf.useInnerProductScorer:
+            raise NotImplementedError(
+                "V2 uses the inner-product scorer; the pairwise-MLP scorer "
+                "lives in the V1 ablation model (models/ablation.py)"
+            )
+        self.scorer = ScaledInnerProductIntervalScorer(
+            conf.baseSize * conf.scoringExpansionFactor,
+            1,
+            dropout=conf.scoreDropoutProb,
+        )
+        self.velocityPredictor = MLPHead(
+            conf.velocityPredictorHiddenSize, 128, conf.velocityDropoutProb
+        )
+        self.refinedOFPredictor = MLPHead(
+            conf.refinedOFPredictorHiddenSize, 4, conf.refinedOFDropoutProb
+        )
+
+    # ---- sub-graphs -------------------------------------------------------
+
+    def process_frames(
+        self, frames: Array, deterministic: bool = True
+    ) -> Tuple[Array, Array, Array]:
+        """frames [N, C, T, W] -> (S [T,T,N*P], noise [T-1,N*P], ctx [N,P,T,D])
+        (ref ``processFramesBatch``, ``ModelTransformer.py:151-225``)."""
+        features = self.frontend(frames)  # [N, T, M, nWin]
+        pitches = jnp.asarray(target_midi_pitches(), jnp.float32)
+        ctx = self.backbone(features, pitches, deterministic)  # [N,P,T,D]
+        s, noise = self.scorer(ctx)  # [T,T,N,P], [T-1,N,P]
+        t = s.shape[0]
+        s = s.reshape(t, t, -1)
+        noise = noise.reshape(t - 1, -1)
+        return s, noise, ctx
+
+    def attributes(
+        self, ctx_a: Array, ctx_b: Array, deterministic: bool = True
+    ) -> Tuple[Array, Array, Array]:
+        """Endpoint context pair -> (velocity logits [...,128],
+        ofValue logits [...,2], ofPresence logits [...,2])."""
+        x = jnp.concatenate([ctx_a, ctx_b, ctx_a * ctx_b], axis=-1)
+        vel = self.velocityPredictor(x, deterministic)
+        of = self.refinedOFPredictor(x, deterministic)
+        of_value, of_presence = jnp.split(of, 2, axis=-1)
+        return vel, of_value, of_presence
+
+    def __call__(self, frames: Array, deterministic: bool = True):
+        """Init path: touch every parameter."""
+        s, noise, ctx = self.process_frames(frames, deterministic)
+        vel, ofv, ofp = self.attributes(
+            ctx[:, :, :1], ctx[:, :, :1], deterministic
+        )
+        return s, noise, ctx, vel, ofv, ofp
+
+
+def _gather_ctx(ctx: Array, idx: Array) -> Array:
+    """ctx [N,P,T,D], idx [N,P,K] -> [N,P,K,D]."""
+    return jnp.take_along_axis(ctx, idx[..., None], axis=2)
+
+
+def log_prob_padded(
+    module: TransKunModule,
+    params,
+    frames: Array,
+    labels: Tuple[Array, ...],
+    rngs: Optional[dict] = None,
+    deterministic: bool = True,
+) -> Array:
+    """Training objective: per-track log-probability [N, P]
+    (ref ``log_prob``, ``ModelTransformer.py:228-332``), fully static-shaped.
+
+    labels = (begins, ends, mask, velocity, refine, presence), all [N, P, K*].
+    """
+    begins, ends, mask, velocity, refine, presence = labels
+    n, p, k = begins.shape
+    s, noise, ctx = module.apply(
+        params,
+        frames,
+        deterministic,
+        method=TransKunModule.process_frames,
+        rngs=rngs,
+    )
+    path = semicrf.eval_path_padded(
+        s, noise, begins.reshape(n * p, k), ends.reshape(n * p, k), mask.reshape(n * p, k)
+    )
+    logz = semicrf.log_z(s, noise)
+    logp = (path - logz).reshape(n, p)
+
+    ctx_a = _gather_ctx(ctx, begins)
+    ctx_b = _gather_ctx(ctx, ends)
+    vel_logits, of_value, of_presence = module.apply(
+        params,
+        ctx_a,
+        ctx_b,
+        deterministic,
+        method=TransKunModule.attributes,
+        rngs=rngs,
+    )
+    logp_vel = jnp.take_along_axis(
+        jax.nn.log_softmax(vel_logits, axis=-1), velocity[..., None], axis=-1
+    )[..., 0]
+    refined = refine * 0.99 + 0.5  # map [-0.5, 0.5] -> [0.005, 0.995]
+    logp_of = dist.continuous_bernoulli_log_prob(of_value, refined).sum(-1)
+    logp_presence = dist.bernoulli_log_prob(of_presence, presence).sum(-1)
+    attr = jnp.where(mask, logp_vel + logp_of + logp_presence, 0.0).sum(-1)
+    return logp + attr
+
+
+class TransKun:
+    """Host-facing model: owns the config and orchestrates device programs
+    plus host decode/assembly.  Mirrors the reference class API."""
+
+    Config = ModelConfig
+
+    def __init__(self, conf: ModelConfig, compute_dtype: Any = None):
+        self.conf = conf
+        self.fs = conf.fs
+        self.hopSize = conf.hopSize
+        self.windowSize = conf.windowSize
+        self.segmentSizeInSecond = conf.segmentSizeInSecond
+        self.segmentHopSizeInSecond = conf.segmentHopSizeInSecond
+        self.targetMIDIPitch = target_midi_pitches()
+        self.module = TransKunModule(conf, compute_dtype)
+        self._decode_fn = {}
+        self._attr_fn = None
+        self._logprob_fn = None
+
+    # -- parameters ---------------------------------------------------------
+
+    def init(self, rng: jax.Array, n_frames: int = 44, n_channel: int = 1):
+        frames = jnp.zeros((1, n_channel, n_frames, self.conf.windowSize))
+        return self.module.init(
+            {"params": rng, "dropout": jax.random.PRNGKey(0)}, frames, True
+        )
+
+    def param_count(self, params) -> float:
+        return sum(x.size for x in jax.tree.leaves(params)) / 1e6
+
+    # -- training -----------------------------------------------------------
+
+    def log_prob(
+        self,
+        params,
+        audio_batch: np.ndarray,
+        notes_batch: Sequence[Sequence[Note]],
+        max_events: int = 32,
+        rngs: Optional[dict] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        """audio [N, nSample, C] + note lists -> per-track log-prob [N, P]."""
+        x = jnp.swapaxes(jnp.asarray(audio_batch), -1, -2)  # [N, C, nSample]
+        frames = frontend.make_frame(x, self.hopSize, self.windowSize)
+        labels = encode_batch(
+            notes_batch, self.hopSize / self.fs, self.targetMIDIPitch, max_events
+        )
+        if self._logprob_fn is None:
+            self._logprob_fn = jax.jit(
+                partial(log_prob_padded, self.module), static_argnames=("deterministic",)
+            )
+        return self._logprob_fn(
+            params,
+            frames,
+            tuple(jnp.asarray(a) for a in labels.astuple()),
+            rngs=rngs,
+            deterministic=deterministic,
+        )
+
+    # -- inference ----------------------------------------------------------
+
+    def _get_decode_fn(self):
+        """Fused per-segment program: frames -> Viterbi ptr tables + ctx.
+        The [T,T,N*P] score tensor never leaves the device."""
+        if "main" not in self._decode_fn:
+
+            @jax.jit
+            def fn(params, frames):
+                s, noise, ctx = self.module.apply(
+                    params, frames, True, method=TransKunModule.process_frames
+                )
+                ptr, diag = semicrf.viterbi_backward_tables(s, noise)
+                return ptr, diag, ctx
+
+            self._decode_fn["main"] = fn
+        return self._decode_fn["main"]
+
+    def _get_attr_fn(self):
+        if self._attr_fn is None:
+
+            @jax.jit
+            def fn(params, ctx, begins, ends):
+                ctx_a = _gather_ctx(ctx, begins)
+                ctx_b = _gather_ctx(ctx, ends)
+                vel_logits, of_value, of_presence = self.module.apply(
+                    params, ctx_a, ctx_b, True, method=TransKunModule.attributes
+                )
+                p_velocity = jax.nn.softmax(vel_logits, axis=-1)
+                of = jnp.clip(
+                    (dist.continuous_bernoulli_mean(of_value) - 0.5) / 0.99, -0.5, 0.5
+                )
+                return p_velocity, of, of_presence > 0
+
+            self._attr_fn = fn
+        return self._attr_fn
+
+    @staticmethod
+    def _velocity_readout(p_velocity: np.ndarray, criterion: str) -> np.ndarray:
+        """Velocity read-out criteria (ref ``ModelTransformer.py:590-632``)."""
+        w = np.arange(128)
+        if criterion == "mse":
+            return (p_velocity * w).sum(-1)
+        if criterion == "match":
+            tolerance = 0.1 * 128
+            utility = (np.abs(w[:, None] - w[None, :]) < tolerance).astype(np.float64)
+            return np.argmax(p_velocity @ utility, axis=-1)
+        if criterion == "hamming":
+            return np.argmax(p_velocity, axis=-1)
+        if criterion == "mae":
+            pcum = np.cumsum(p_velocity, axis=-1)
+            tmp = (pcum - 0.5) > 0
+            w2 = np.arange(128, 0.0, -1)
+            return np.argmax(tmp * w2, axis=-1)
+        raise ValueError(f"Unrecognized criterion: {criterion}")
+
+    def transcribe_frames(
+        self,
+        params,
+        frames: Array,
+        forced_start_pos: Optional[Sequence[int]] = None,
+        velocity_criterion: str = "hamming",
+        onset_bound: Optional[int] = None,
+        last_frame_idx: Optional[int] = None,
+    ) -> Tuple[List[List[Note]], List[int]]:
+        """Decode one batch of segments (ref ``transcribeFrames``,
+        ``ModelTransformer.py:537-725``)."""
+        n_batch = frames.shape[0]
+        n_frame = frames.shape[-2]
+        n_sym = len(self.targetMIDIPitch)
+        if last_frame_idx is None:
+            last_frame_idx = n_frame - 1
+
+        ptr, diag, ctx = self._get_decode_fn()(params, frames)
+        path = semicrf.backtrack_backward(
+            np.asarray(ptr), np.asarray(diag), forced_start_pos
+        )
+        if onset_bound is not None:
+            path = [[e for e in p if e[0] < onset_bound] for p in path]
+
+        intervals_batch = [
+            path[i * n_sym : (i + 1) * n_sym] for i in range(n_batch)
+        ]
+        n_intervals = sum(len(p) for p in path)
+        if n_intervals == 0:
+            return [[] for _ in range(n_batch)], [0] * len(path)
+
+        # pad decoded intervals into [N, P, K] for the jitted attribute heads
+        kmax = max(len(p) for p in path)
+        k = 8
+        while k < kmax:
+            k *= 2
+        begins = np.zeros((n_batch, n_sym, k), np.int32)
+        ends = np.zeros((n_batch, n_sym, k), np.int32)
+        for i in range(n_batch):
+            for j in range(n_sym):
+                for e_idx, (b, e) in enumerate(intervals_batch[i][j]):
+                    begins[i, j, e_idx] = b
+                    ends[i, j, e_idx] = e
+
+        p_velocity, of_value, of_presence = self._get_attr_fn()(
+            params, ctx, jnp.asarray(begins), jnp.asarray(ends)
+        )
+        p_velocity = np.asarray(p_velocity)
+        of_value = np.asarray(of_value)
+        of_presence = np.asarray(of_presence)
+        velocity = self._velocity_readout(p_velocity, velocity_criterion)
+
+        frame_dur = self.hopSize / self.fs
+        notes: List[List[Note]] = [[] for _ in range(n_batch)]
+        last_p: List[int] = []
+        for i in range(n_batch):
+            for j, event_type in enumerate(self.targetMIDIPitch):
+                last_end = 0.0
+                cur_last_p = 0
+                for e_idx, interval in enumerate(intervals_batch[i][j]):
+                    cur_velocity = velocity[i, j, e_idx]
+                    cur_offset = of_value[i, j, e_idx]
+                    start = (interval[0] + cur_offset[0]) * frame_dur
+                    end = (interval[1] + cur_offset[1]) * frame_dur
+                    # presence only disambiguates events touching the
+                    # first/last frame of the segment (ref ``:693-696``)
+                    has_onset = interval[0] > 0 or bool(of_presence[i, j, e_idx][0])
+                    has_offset = interval[1] < last_frame_idx or bool(
+                        of_presence[i, j, e_idx][1]
+                    )
+                    start = max(start, last_end)
+                    end = max(end, start + 1e-8)
+                    last_end = end
+                    notes[i].append(
+                        Note(
+                            start=start,
+                            end=end,
+                            pitch=event_type,
+                            velocity=int(cur_velocity),
+                            hasOnset=has_onset,
+                            hasOffset=has_offset,
+                        )
+                    )
+                    if has_offset:
+                        cur_last_p = interval[1]
+                last_p.append(cur_last_p)
+            notes[i].sort(key=lambda x: (x.start, x.end, x.pitch))
+        return notes, last_p
+
+    def transcribe(
+        self,
+        params,
+        x: np.ndarray,
+        step_in_second: Optional[float] = None,
+        segment_size_in_second: Optional[float] = None,
+        discard_second_half: bool = False,
+        merge_incomplete_event: bool = True,
+        velocity_criterion: str = "hamming",
+    ) -> List[Note]:
+        """Full-piece streaming transcription with exact cross-segment
+        stitching (ref ``transcribe``, ``ModelTransformer.py:729-848``).
+
+        x: [nSample, nChannel] float waveform at conf.fs.
+        """
+        if step_in_second is None and segment_size_in_second is None:
+            step_in_second = self.segmentHopSizeInSecond
+            segment_size_in_second = self.segmentSizeInSecond
+
+        x = np.asarray(x).T  # [C, nSample]
+        pad_time_begin = segment_size_in_second - step_in_second
+        pad = math.ceil(pad_time_begin * self.fs)
+        x = np.pad(x, ((0, 0), (pad, pad)))
+        n_sample = x.shape[-1]
+
+        events_by_type: Dict[int, List[Note]] = defaultdict(list)
+        start_frame_idx = math.floor(pad_time_begin * self.fs / self.hopSize)
+        start_pos: List[int] = [start_frame_idx] * len(self.targetMIDIPitch)
+
+        step_size = math.ceil(step_in_second * self.fs / self.hopSize) * self.hopSize
+        segment_size = math.ceil(segment_size_in_second * self.fs)
+
+        for i in range(0, n_sample, step_size):
+            j = min(i + segment_size, n_sample)
+            begin_time = i / self.fs - pad_time_begin
+            cur = x[:, i:j]
+            if cur.shape[-1] < segment_size:
+                cur = np.pad(cur, ((0, 0), (0, segment_size - cur.shape[-1])))
+            frames = frontend.make_frame(
+                jnp.asarray(cur), self.hopSize, self.windowSize
+            )
+            last_frame_idx = round(segment_size / self.hopSize)
+            onset_bound = step_size if discard_second_half else None
+            cur_events, last_p = self.transcribe_frames(
+                params,
+                frames[None],
+                forced_start_pos=start_pos,
+                velocity_criterion=velocity_criterion,
+                onset_bound=onset_bound,
+                last_frame_idx=last_frame_idx,
+            )
+            cur_events = cur_events[0]
+            start_pos = [max(k - int(step_size / self.hopSize), 0) for k in last_p]
+
+            for e in cur_events:
+                e.start += begin_time
+                e.end += begin_time
+                e.start = max(e.start, 0)
+                e.end = max(e.end, e.start)
+
+            for e in cur_events:
+                if merge_incomplete_event and len(events_by_type[e.pitch]) > 0:
+                    last_e = events_by_type[e.pitch][-1]
+                    if e.start < last_e.end:
+                        if e.hasOnset:
+                            events_by_type[e.pitch][-1] = e
+                        else:
+                            last_e.hasOffset = e.hasOffset
+                            last_e.end = max(e.end, last_e.end)
+                        continue
+                if e.hasOnset:
+                    events_by_type[e.pitch].append(e)
+
+        # incomplete events in the final segment get a forced offset
+        for event_type in events_by_type:
+            if len(events_by_type[event_type]) > 0:
+                events_by_type[event_type][-1].hasOffset = True
+
+        events_all = [e for lst in events_by_type.values() for e in lst]
+        events_all = [n for n in events_all if n.hasOffset]
+        return resolve_overlapping(events_all)

@@ -1,0 +1,147 @@
+"""Convert a reference PyTorch TransKun state_dict to flax params.
+
+Used for (a) loading reference-trained checkpoints and (b) exact-parity
+testing of the forward pass.  Layout conversions:
+
+* torch ``nn.Linear`` weight [out, in]       -> Dense kernel [in, out]
+* MHA q/k/v projections are stored [in, out] in the reference -> no transpose
+* torch ``Conv2d`` weight [out, in, kh, kw]  -> Conv kernel [kh, kw, in, out]
+* torch ``ConvTranspose1d`` (k == stride == 8) weight [in, out, 8] ->
+  Dense kernel [in, 8*out] via transpose to [in, 8, out]; bias tiled 8x.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _linear(sd, prefix):
+    return {
+        "kernel": np.ascontiguousarray(sd[prefix + ".weight"].T),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _conv2d(sd, prefix):
+    return {
+        "kernel": np.ascontiguousarray(np.transpose(sd[prefix + ".weight"], (2, 3, 1, 0))),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _groupnorm(sd, prefix):
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"]),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _pos_embed(sd, prefix):
+    return {
+        "proj": _linear(sd, prefix + ".proj"),
+        "mlp_0": _linear(sd, prefix + ".mlp.0"),
+        "mlp_1": _linear(sd, prefix + ".mlp.3"),
+    }
+
+
+def _mha(sd, prefix):
+    return {
+        "q_proj": {"kernel": np.asarray(sd[prefix + ".q_proj_weight"])},
+        "k_proj": {"kernel": np.asarray(sd[prefix + ".k_proj_weight"])},
+        "v_proj": {"kernel": np.asarray(sd[prefix + ".v_proj_weight"])},
+        "out_proj": _linear(sd, prefix + ".out_proj"),
+    }
+
+
+def _attn_block(sd, prefix):
+    return {
+        "mha": _mha(sd, prefix + ".module"),
+        "scale": np.asarray(sd[prefix + ".scale"]),
+    }
+
+
+def _ffn_block(sd, prefix):
+    return {
+        "lin1": _linear(sd, prefix + ".module.0"),
+        "lin2": _linear(sd, prefix + ".module.3"),
+        "scale": np.asarray(sd[prefix + ".scale"]),
+    }
+
+
+def _mlp_head(sd, prefix):
+    return {
+        "lin1": _linear(sd, prefix + ".0"),
+        "lin2": _linear(sd, prefix + ".3"),
+    }
+
+
+def convert_state_dict(sd: Dict[str, Any], conf) -> Dict[str, Any]:
+    """torch state_dict (tensors or numpy arrays) -> flax params dict."""
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in sd.items()}
+
+    backbone: Dict[str, Any] = {
+        "posEmbedBuilder": _pos_embed(sd, "backbone.posEmbedBuilder"),
+        "posEmbedBuilderAttnTF": _pos_embed(sd, "backbone.posEmbedBuilderAttnTF"),
+        "posEmbedBuilderAttnTE": _pos_embed(sd, "backbone.posEmbedBuilderAttnTE"),
+        "inputConv": _conv2d(sd, "backbone.inputConv"),
+        "downConv": {
+            "conv0": _conv2d(sd, "backbone.downConv.1"),
+            "norm0": _groupnorm(sd, "backbone.downConv.2"),
+            "conv1": _conv2d(sd, "backbone.downConv.5"),
+            "norm1": _groupnorm(sd, "backbone.downConv.6"),
+            "conv2": _conv2d(sd, "backbone.downConv.9"),
+            "norm2": _groupnorm(sd, "backbone.downConv.10"),
+            "conv3": _conv2d(sd, "backbone.downConv.13"),
+            "norm3": _groupnorm(sd, "backbone.downConv.14"),
+        },
+    }
+    # transposed-conv-as-dense upsampler
+    w = sd["backbone.upConv1dSkip.weight"]  # [in, out, k]
+    k = w.shape[-1]
+    kernel = np.ascontiguousarray(np.transpose(w, (0, 2, 1))).reshape(w.shape[0], -1)
+    bias = np.tile(sd["backbone.upConv1dSkip.bias"], k)
+    backbone["upConv1dSkip"] = {"kernel": kernel, "bias": bias}
+
+    i = 0
+    while f"backbone.encoderLayers.{i}.mhaBlockF.scale" in sd or any(
+        key.startswith(f"backbone.encoderLayers.{i}.") for key in sd
+    ):
+        layer = {}
+        base = f"backbone.encoderLayers.{i}"
+        for tag in ("F", "T", "All0", "FT"):
+            if f"{base}.mhaBlock{tag}.scale" in sd:
+                layer[f"mhaBlock{tag}"] = _attn_block(sd, f"{base}.mhaBlock{tag}")
+            if f"{base}.fnnBlock{tag}.scale" in sd:
+                layer[f"fnnBlock{tag}"] = _ffn_block(sd, f"{base}.fnnBlock{tag}")
+        if not layer:
+            break
+        backbone[f"encoderLayers_{i}"] = layer
+        i += 1
+
+    params = {
+        "frontend": {
+            "win_sigma": np.asarray(
+                sd["framewiseFeatureExtractor.spectrogramExtractor.winGen.sigma"]
+            ),
+            "win_center": np.asarray(
+                sd["framewiseFeatureExtractor.spectrogramExtractor.winGen.center"]
+            ),
+        },
+        "backbone": backbone,
+        "scorer": {"map": _linear(sd, "scorer.map.0")},
+        "velocityPredictor": _mlp_head(sd, "velocityPredictor"),
+        "refinedOFPredictor": _mlp_head(sd, "refinedOFPredictor"),
+    }
+    return {"params": params}
+
+
+def load_torch_checkpoint(path: str, conf, prefer_best: bool = True):
+    """Load a reference ``.pt`` checkpoint file into flax params
+    (ref ``transcribe.py:49-62``: ``best_state_dict`` preferred, tolerant)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    key = "best_state_dict" if prefer_best and "best_state_dict" in ckpt else "state_dict"
+    return convert_state_dict(ckpt[key], conf)
