@@ -1,0 +1,62 @@
+"""Transcription throughput benchmark: audio-seconds per wall-second per chip.
+
+Runs the flagship V2 configuration (baseSize 64, 8 heads, 6 layers — the
+shipped-checkpoint architecture) over synthetic audio on the available
+accelerator, measuring the steady-state streaming `transcribe` path: frames ->
+mel -> backbone -> scorer -> Viterbi tables on device, pointer walk + event
+assembly on host.  Prints ONE JSON line; vs_baseline is measured against the
+BASELINE.json north star of 50x real time per chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from transkun_tpu.models import ModelConfig, TransKun
+
+    conf = ModelConfig.from_dict(
+        dict(baseSize=64, nHead=8, nLayers=6, contextDropoutProb=0.0)
+    )
+    model = TransKun(conf, compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), n_frames=691)
+
+    # Random weights fire spurious singleton events (diag scores ~ 0), which
+    # only inflates *host* assembly work vs. a trained model.  Bias the
+    # scorer's diagonal output negative so decoded event counts are realistic;
+    # all device work is unchanged.
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    bias = np.asarray(params["params"]["scorer"]["map"]["bias"]).copy()
+    bias[-1] = -8.0
+    params["params"]["scorer"]["map"]["bias"] = jnp.asarray(bias)
+
+    dur = 64.0  # seconds of audio per timed run
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(int(dur * conf.fs), 1)) * 0.05).astype(np.float32)
+
+    # warmup / compile
+    model.transcribe(params, audio[: conf.fs * 17])
+    t0 = time.time()
+    notes = model.transcribe(params, audio)
+    elapsed = time.time() - t0
+    rtf = dur / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "transcribe_rtf",
+                "value": round(rtf, 2),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(rtf / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Checkpointing: latest/best roles with optimizer + schedule + clip state
+(role-parity with the reference single-file .pt checkpoints,
+``TrainUtil.py:69-209``), stored via orbax.
+
+Also loads reference torch ``.pt`` checkpoints transparently through the
+weight converter so reference-trained models run directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str, state, best_params=None, extra: Optional[Dict] = None):
+    """Save train state (params, opt state, clip buffer, step) + best params."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "clip_buffer": state.clip_state.buffer,
+        "clip_idx": state.clip_state.idx,
+        "step": state.step,
+    }
+    if best_params is not None:
+        ckpt["best_params"] = best_params
+    if extra:
+        ckpt["extra"] = extra
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, ckpt, force=True)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
+def load_params(path: str, conf, prefer_best: bool = True):
+    """Load model params from either an orbax directory or a reference torch
+    ``.pt`` file (ref ``transcribe.py:49-62`` semantics: best preferred)."""
+    if os.path.isfile(path) and path.endswith(".pt"):
+        from ..utils.torch_convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(path, conf, prefer_best=prefer_best)
+    ckpt = load_checkpoint(path)
+    if prefer_best and "best_params" in ckpt:
+        return ckpt["best_params"]
+    return ckpt["params"]
