@@ -15,6 +15,9 @@ import numpy as np
 
 
 def main():
+    from transkun_tpu.utils.jax_setup import setup_cache
+
+    setup_cache()
     import jax
     import jax.numpy as jnp
 
@@ -39,12 +42,14 @@ def main():
     rng = np.random.default_rng(0)
     audio = (rng.normal(size=(int(dur * conf.fs), 1)) * 0.05).astype(np.float32)
 
-    # warmup / compile
-    model.transcribe(params, audio[: conf.fs * 17])
-    t0 = time.time()
-    notes = model.transcribe(params, audio)
-    elapsed = time.time() - t0
-    rtf = dur / elapsed
+    # warmup / compile (same length as the timed runs)
+    model.transcribe(params, audio)
+    trials = []
+    for _ in range(3):
+        t0 = time.time()
+        model.transcribe(params, audio)
+        trials.append(time.time() - t0)
+    rtf = dur / sorted(trials)[1]  # median
 
     print(
         json.dumps(

@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     args = parser.parse_args(argv)
 
+    from ..utils.jax_setup import setup_cache
+
+    setup_cache()
     import jax
     import jax.numpy as jnp
 

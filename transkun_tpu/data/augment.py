@@ -1,0 +1,186 @@
+"""Training-time audio augmentation (host-side, numpy/scipy).
+
+Replicates the augmentation pipeline the reference trains its "Aug" models
+with (``transkun/Data.py:748-843``): random channel downmix, pitch shift
+within ±0.2 semitones (phase-vocoder), seven-band parametric EQ within ±3 dB,
+optional impulse-response reverb with a random wet/dry mix, optional
+background noise, and Gaussian noise at a random SNR in [3, 40] dB — each
+applied with probability 0.5.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _stft(x, n_fft, hop):
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    n_frames = 1 + max(0, (len(x) - n_fft)) // hop
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop][:n_frames]
+    return np.fft.rfft(frames * win, axis=-1), win
+
+
+def _istft(spec, win, hop, length):
+    n_fft = len(win)
+    frames = np.fft.irfft(spec, n=n_fft, axis=-1) * win
+    out = np.zeros(hop * (len(frames) - 1) + n_fft, np.float32)
+    norm = np.zeros_like(out)
+    w2 = win * win
+    for i, f in enumerate(frames):
+        out[i * hop : i * hop + n_fft] += f
+        norm[i * hop : i * hop + n_fft] += w2
+    out /= np.maximum(norm, 1e-8)
+    return out[:length]
+
+
+def time_stretch(x: np.ndarray, rate: float, n_fft: int = 2048, hop: int = 512):
+    """Phase-vocoder time stretch of a mono signal by ``rate`` (>1 = faster)."""
+    if len(x) < n_fft * 2:
+        return x
+    spec, win = _stft(x, n_fft, hop)
+    n_in = spec.shape[0]
+    steps = np.arange(0, n_in - 1, rate)
+    phase_adv = np.linspace(0, np.pi * hop, spec.shape[1])
+    out = np.zeros((len(steps), spec.shape[1]), np.complex64)
+    phase = np.angle(spec[0])
+    for t, step in enumerate(steps):
+        i = int(step)
+        frac = step - i
+        s0, s1 = spec[i], spec[min(i + 1, n_in - 1)]
+        mag = (1 - frac) * np.abs(s0) + frac * np.abs(s1)
+        out[t] = mag * np.exp(1j * phase)
+        dphase = np.angle(s1) - np.angle(s0) - phase_adv
+        dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
+        phase = phase + phase_adv + dphase
+    length = int(round(len(x) / rate))
+    return _istft(out, win, hop, length)
+
+
+def pitch_shift(x: np.ndarray, semitones: float, fs: int) -> np.ndarray:
+    """Pitch shift preserving duration: time-stretch then resample."""
+    if abs(semitones) < 1e-6:
+        return x
+    from scipy.signal import resample_poly
+
+    factor = 2.0 ** (semitones / 12.0)
+    stretched = time_stretch(x, 1.0 / factor)
+    # resample by 1/factor to restore duration and move pitch
+    up, down = max(1, int(round(10000 / factor))), 10000
+    y = resample_poly(stretched, down, up).astype(np.float32)
+    if len(y) >= len(x):
+        return y[: len(x)]
+    return np.pad(y, (0, len(x) - len(y)))
+
+
+def peaking_eq(x: np.ndarray, fs: int, f0: float, gain_db: float, q: float = 1.0):
+    """RBJ cookbook peaking biquad."""
+    from scipy.signal import lfilter
+
+    a = 10 ** (gain_db / 40)
+    w0 = 2 * math.pi * f0 / fs
+    alpha = math.sin(w0) / (2 * q)
+    b = [1 + alpha * a, -2 * math.cos(w0), 1 - alpha * a]
+    den = [1 + alpha / a, -2 * math.cos(w0), 1 - alpha / a]
+    b = np.array(b) / den[0]
+    den = np.array(den) / den[0]
+    return lfilter(b, den, x).astype(np.float32)
+
+
+class Augmentator:
+    """The audiomentations-equivalent augmentation chain; input/output
+    float32 [nSample, nChannel]."""
+
+    EQ_BANDS = (42.0, 107.0, 274.0, 697.0, 1779.0, 4535.0, 11559.0)
+
+    def __init__(
+        self,
+        sampleRate: int = 44100,
+        pitchShiftRange=(-0.2, 0.2),
+        eqDBRange=(-3.0, 3.0),
+        snrRange=(3.0, 40.0),
+        convIRFolder: Optional[str] = None,
+        noiseFolder: Optional[str] = None,
+        rng: Optional[random.Random] = None,
+    ):
+        self.fs = sampleRate
+        self.pitchShiftRange = pitchShiftRange
+        self.eqDBRange = eqDBRange
+        self.snrRange = snrRange
+        self.rng = rng or random.Random()
+        self.irFiles: List[str] = (
+            [str(p) for p in Path(convIRFolder).glob(os.path.join("**", "*.wav"))]
+            if convIRFolder
+            else []
+        )
+        self.noiseFiles: List[str] = (
+            [str(p) for p in Path(noiseFolder).glob(os.path.join("**", "*.wav"))]
+            if noiseFolder
+            else []
+        )
+        self._wav_cache = {}
+
+    def _load_wav(self, path):
+        if path not in self._wav_cache:
+            from scipy.io import wavfile
+
+            fs, data = wavfile.read(path)
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+            if np.issubdtype(data.dtype, np.integer):
+                data = data / np.iinfo(data.dtype).max
+            self._wav_cache[path] = (fs, data.astype(np.float32))
+        return self._wav_cache[path]
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        r = self.rng
+        x = np.array(x, np.float32).T  # [C, n]
+
+        # random channel downmix (ref ``Data.py:813-819``)
+        if x.ndim == 2:
+            w = 2 * np.array([r.random() for _ in range(x.shape[0])]) - 1
+            w = (w + 1e-8) / (np.sum(np.abs(w)) + 1e-8)
+            x = (w[None, :] @ x).astype(np.float32)
+        x = x[0] if x.ndim == 2 else x
+
+        if r.random() < 0.5:
+            x = pitch_shift(x, r.uniform(*self.pitchShiftRange), self.fs)
+        if r.random() < 0.5:
+            for f0 in self.EQ_BANDS:
+                if f0 < self.fs / 2:
+                    x = peaking_eq(x, self.fs, f0, r.uniform(*self.eqDBRange))
+
+        if self.irFiles and r.random() < 0.5:
+            _, ir = self._load_wav(r.choice(self.irFiles))
+            wet = np.convolve(x, ir)[: len(x)].astype(np.float32)
+            alpha = r.random()
+            x = alpha * x + (1 - alpha) * wet
+
+        if self.noiseFiles and r.random() < 0.5:
+            _, noise = self._load_wav(r.choice(self.noiseFiles))
+            if r.random() < 0.5:
+                noise = noise[::-1]
+            if r.random() < 0.5:
+                noise = -noise
+            if len(noise) < len(x):
+                noise = np.tile(noise, math.ceil(len(x) / len(noise)))
+            start = r.randrange(max(1, len(noise) - len(x) + 1))
+            noise = noise[start : start + len(x)]
+            snr = r.uniform(*self.snrRange)
+            sig_rms = np.sqrt(np.mean(x**2) + 1e-12)
+            noise_rms = np.sqrt(np.mean(noise**2) + 1e-12)
+            x = x + noise * (sig_rms / noise_rms) * 10 ** (-snr / 20)
+
+        if r.random() < 0.5:  # AddGaussianSNR
+            snr = r.uniform(*self.snrRange)
+            sig_rms = np.sqrt(np.mean(x**2) + 1e-12)
+            x = x + np.random.normal(0, sig_rms * 10 ** (-snr / 20), len(x)).astype(
+                np.float32
+            )
+
+        return x[:, None]

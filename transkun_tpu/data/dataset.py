@@ -1,0 +1,270 @@
+"""Dataset construction and chunk iteration for training.
+
+Counterpart of the reference data pipeline (``transkun/Data.py:251-968``):
+metadata builders over the MAESTRO layout, the pickle-index dataset with
+interval queries, the dithered fixed-size chunk iterator with deterministic
+epoch seeding, and the batching collate.  All host-side (CPU input pipeline).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+import os
+import pickle
+import random
+import wave
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .audio import read_audio_slice
+from .midi import read_midi
+from .note import (
+    Note,
+    create_index_events,
+    parse_event_all,
+    query_interval,
+)
+
+
+def parse_midi_file(
+    midi_path: str, extend_sustain_pedal: bool = False, pedal_ext_offset: float = 0.0
+) -> List[Note]:
+    """MIDI file -> unified event list (ref ``parseMIDIFile``)."""
+    mf = read_midi(midi_path)
+    return parse_event_all(
+        mf.notes,
+        mf.control_changes,
+        extend_sustain_pedal=extend_sustain_pedal,
+        pedal_ext_offset=pedal_ext_offset,
+    )
+
+
+def _wav_meta(path: str) -> Tuple[int, int, int]:
+    with wave.open(path) as f:
+        return f.getframerate(), f.getnframes(), f.getnchannels()
+
+
+def create_dataset_maestro_csv(
+    dataset_path: str, meta_csv_path: str, extend_sustain_pedal: bool = True
+) -> List[Dict]:
+    """MAESTRO csv metadata -> sample dicts (ref ``createDatasetMaestroCSV``)."""
+    samples = []
+    with open(meta_csv_path) as f:
+        for e in csv.DictReader(f):
+            e = dict(e)
+            midi_path = os.path.join(dataset_path, e["midi_filename"])
+            audio_path = os.path.join(dataset_path, e["audio_filename"])
+            events = parse_midi_file(midi_path, extend_sustain_pedal)
+            fs, n_samples, n_channel = _wav_meta(audio_path)
+            e.update(notes=events, fs=fs, nSamples=n_samples, nChannel=n_channel)
+            samples.append(e)
+    return samples
+
+
+def create_dataset_maestro_json(
+    dataset_path: str, meta_json_path: str, extend_sustain_pedal: bool = True
+) -> List[Dict]:
+    """MAESTRO v3 json metadata (column-major) -> sample dicts."""
+    with open(meta_json_path) as f:
+        meta = json.load(f)
+    if isinstance(meta, dict):  # v3 column-major layout
+        keys = list(meta.keys())
+        n = len(meta[keys[0]])
+        meta = [{k: meta[k][str(i) if str(i) in meta[k] else i] for k in keys} for i in range(n)]
+    samples = []
+    for e in meta:
+        e = dict(e)
+        midi_path = os.path.join(dataset_path, e["midi_filename"])
+        audio_path = os.path.join(dataset_path, e["audio_filename"])
+        events = parse_midi_file(midi_path, extend_sustain_pedal)
+        fs, n_samples, n_channel = _wav_meta(audio_path)
+        e.update(notes=events, fs=fs, nSamples=n_samples, nChannel=n_channel)
+        samples.append(e)
+    return samples
+
+
+class DatasetMaestro:
+    """Pickle-backed dataset with a per-piece interval index for O(log n)
+    note-range queries (ref ``DatasetMaestro``, ``Data.py:457-595``)."""
+
+    def __init__(self, dataset_path: str, annotation_pickle_path: str):
+        self.datasetPath = dataset_path
+        self.datasetAnnotationPicklePath = annotation_pickle_path
+        with open(annotation_pickle_path, "rb") as f:
+            self.data = pickle.load(f)
+        self.durations = [float(e["duration"]) for e in self.data]
+        for e in self.data:
+            e["index"] = create_index_events(e["notes"])
+
+    # DataLoader-worker-safe re-init (ref ``Data.py:484-490``)
+    def __getstate__(self):
+        return {
+            "datasetPath": self.datasetPath,
+            "datasetAnnotationPicklePath": self.datasetAnnotationPicklePath,
+        }
+
+    def __setstate__(self, d):
+        self.__init__(d["datasetPath"], d["datasetAnnotationPicklePath"])
+
+    def get_path(self, idx: int) -> str:
+        return os.path.join(self.datasetPath, self.data[idx]["audio_filename"])
+
+    def get_sample(self, idx: int, normalize: bool = True):
+        from scipy.io import wavfile
+
+        e = self.data[idx]
+        fs, result = wavfile.read(self.get_path(idx), mmap=False)
+        if normalize:
+            result = np.divide(result, np.iinfo(result.dtype).max, dtype=np.float32)
+        return e["audio_filename"], e["notes"], result, fs
+
+    def fetch_data(
+        self,
+        idx: int,
+        begin: float,
+        end: float,
+        audio_normalize: bool,
+        notes_strictly_contained: bool,
+    ):
+        """Fetch [begin, end] seconds of audio + the notes inside, with
+        boundary notes either dropped (strict) or trimmed and flagged
+        (ref ``fetchData``, ``Data.py:528-574``)."""
+        e = self.data[idx]
+        if end < 0 and begin < 0:
+            note_indices = []
+        else:
+            note_indices = query_interval(max(begin, 0.0), max(end, 0.0), e["index"])
+        notes = [e["notes"][int(i)] for i in note_indices]
+        if notes_strictly_contained:
+            notes = [
+                Note(n.start - begin, n.end - begin, n.pitch, n.velocity)
+                for n in notes
+                if n.start >= begin and n.end < end
+            ]
+        else:
+            notes = [
+                Note(
+                    max(n.start, begin) - begin,
+                    min(n.end, end) - begin,
+                    n.pitch,
+                    n.velocity,
+                    n.start >= begin,
+                    n.end < end,
+                )
+                for n in notes
+            ]
+        audio, fs = read_audio_slice(self.get_path(idx), begin, end, audio_normalize)
+        return notes, audio, fs
+
+
+class DatasetMaestroIterator:
+    """Pre-enumerated dithered fixed-size chunks with a deterministic epoch
+    seed (ref ``DatasetMaestroIterator``, ``Data.py:846-927``).  Map-style:
+    supports len() and indexing, so it drops into any sampler/loader."""
+
+    def __init__(
+        self,
+        dataset: DatasetMaestro,
+        hop_size_in_second: float,
+        chunk_size_in_second: float,
+        audio_normalize: bool = True,
+        notes_strictly_contained: bool = True,
+        dithering_frames: bool = True,
+        seed: int = 1234,
+        augmentator=None,
+    ):
+        self.dataset = dataset
+        self.hopSizeInSecond = hop_size_in_second
+        self.chunkSizeInSecond = chunk_size_in_second
+        self.audioNormalize = audio_normalize
+        self.notesStrictlyContained = notes_strictly_contained
+        self.augmentator = augmentator
+
+        rand = random.Random(seed)
+        chunks = []
+        for idx, e in enumerate(dataset.data):
+            duration = float(e["duration"])
+            n_chunks = math.ceil((duration + chunk_size_in_second) / hop_size_in_second)
+            hop_per_chunk = math.ceil(chunk_size_in_second / hop_size_in_second)
+            for j in range(-hop_per_chunk, n_chunks + hop_per_chunk):
+                shift = rand.random() - 0.5 if dithering_frames else 0.0
+                begin = (j + shift) * hop_size_in_second - chunk_size_in_second / 2
+                end = begin + chunk_size_in_second
+                if begin < duration and end > 0:
+                    chunks.append((idx, begin, end))
+        rand.shuffle(chunks)
+        self.chunksAll = chunks
+
+    def __len__(self):
+        return len(self.chunksAll)
+
+    def __getitem__(self, i: int):
+        if i >= len(self):
+            raise IndexError()
+        idx, begin, end = self.chunksAll[i]
+        notes, audio, fs = self.dataset.fetch_data(
+            idx,
+            begin,
+            end,
+            audio_normalize=self.audioNormalize,
+            notes_strictly_contained=self.notesStrictlyContained,
+        )
+        if self.augmentator is not None:
+            audio = self.augmentator(audio)
+        return {"notes": notes, "audioSlice": audio, "fs": fs, "begin": begin}
+
+
+def collate_fn(batch):
+    return batch
+
+
+def collate_fn_batching(batch):
+    """Stack audio (lengths may differ by <2 samples from float begin/end
+    rounding; ref ``Data.py:932-946``)."""
+    notes_batch = [s["notes"] for s in batch]
+    slices = [s["audioSlice"] for s in batch]
+    n_min = min(a.shape[0] for a in slices)
+    n_max = max(a.shape[0] for a in slices)
+    assert n_max - n_min < 2
+    audio = np.stack([a[:n_min] for a in slices], axis=0)
+    return {"notes": notes_batch, "audioSlices": audio}
+
+
+class BatchLoader:
+    """Minimal multi-epoch batch loader: shuffled shards of a map-style
+    iterator, optional rank sharding for data parallelism (replaces
+    torch DataLoader + DistributedSampler in the reference stack)."""
+
+    def __init__(
+        self,
+        data,
+        batch_size: int,
+        collate=collate_fn_batching,
+        shuffle: bool = False,
+        seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+        drop_last: bool = True,
+    ):
+        self.data = data
+        self.batch_size = batch_size
+        self.collate = collate
+        order = list(range(len(data)))
+        if shuffle:
+            random.Random(seed).shuffle(order)
+        order = order[rank::world_size]
+        if drop_last:
+            order = order[: len(order) // batch_size * batch_size]
+        self.order = order
+
+    def __len__(self):
+        return len(self.order) // self.batch_size
+
+    def __iter__(self):
+        for i in range(len(self)):
+            idxs = self.order[i * self.batch_size : (i + 1) * self.batch_size]
+            yield self.collate([self.data[j] for j in idxs])

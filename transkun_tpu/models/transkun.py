@@ -168,6 +168,32 @@ class TransKunModule(nn.Module):
         of_value, of_presence = jnp.split(of, 2, axis=-1)
         return vel, of_value, of_presence
 
+    def boundary_offset_presence(self, ctx: Array, n_edge: int) -> Array:
+        """Offset-presence bits for every interval ending in the last
+        ``n_edge`` frames: [N, P, T, n_edge] bool, entry (b, j) = presence of
+        an offset for interval (b, T-n_edge+j).
+
+        Decoded on device so the host stitching chain (forcedStartPos /
+        lastP, ref ``ModelTransformer.py:693-725``) never waits on a separate
+        attribute round trip.  The first MLP layer is applied to the three
+        input blocks separately so the [N,P,T,n_edge,3D] concatenation is
+        never materialized."""
+        d = ctx.shape[-1]
+        ctx_e = ctx[:, :, ctx.shape[2] - n_edge :]  # [N, P, n_edge, D]
+        head = self.variables["params"]["refinedOFPredictor"]
+        k1, b1 = head["lin1"]["kernel"], head["lin1"]["bias"]
+        k2, b2 = head["lin2"]["kernel"], head["lin2"]["bias"]
+        ka, kb, kab = k1[:d], k1[d : 2 * d], k1[2 * d :]
+        ha = ctx @ ka  # [N, P, T, H]
+        hb = ctx_e @ kb  # [N, P, n_edge, H]
+        outs = []
+        for j in range(n_edge):
+            h = ha + hb[:, :, j : j + 1] + (ctx * ctx_e[:, :, j : j + 1]) @ kab + b1
+            h = jax.nn.gelu(h, approximate=False)
+            of = h @ k2 + b2  # [N, P, T, 4]
+            outs.append(of[..., 3] > 0)
+        return jnp.stack(outs, axis=-1)  # [N, P, T, n_edge]
+
     def __call__(self, frames: Array, deterministic: bool = True):
         """Init path: touch every parameter."""
         s, noise, ctx = self.process_frames(frames, deterministic)
@@ -308,20 +334,38 @@ class TransKun:
         return self._decode_fn["main"]
 
     def _get_attr_fn(self):
+        """Jitted attribute readout; the velocity criterion runs on device so
+        only [N,P,K]-sized results cross the host link."""
         if self._attr_fn is None:
 
-            @jax.jit
-            def fn(params, ctx, begins, ends):
+            @partial(jax.jit, static_argnames=("criterion",))
+            def fn(params, ctx, begins, ends, criterion="hamming"):
                 ctx_a = _gather_ctx(ctx, begins)
                 ctx_b = _gather_ctx(ctx, ends)
                 vel_logits, of_value, of_presence = self.module.apply(
                     params, ctx_a, ctx_b, True, method=TransKunModule.attributes
                 )
                 p_velocity = jax.nn.softmax(vel_logits, axis=-1)
+                w = jnp.arange(128, dtype=p_velocity.dtype)
+                if criterion == "mse":
+                    velocity = jnp.sum(p_velocity * w, axis=-1)
+                elif criterion == "match":
+                    utility = (
+                        jnp.abs(w[:, None] - w[None, :]) < 0.1 * 128
+                    ).astype(p_velocity.dtype)
+                    velocity = jnp.argmax(p_velocity @ utility, axis=-1)
+                elif criterion == "hamming":
+                    velocity = jnp.argmax(p_velocity, axis=-1)
+                elif criterion == "mae":
+                    pcum = jnp.cumsum(p_velocity, axis=-1)
+                    w2 = jnp.arange(128, 0.0, -1.0)
+                    velocity = jnp.argmax(((pcum - 0.5) > 0) * w2, axis=-1)
+                else:
+                    raise ValueError(f"Unrecognized criterion: {criterion}")
                 of = jnp.clip(
                     (dist.continuous_bernoulli_mean(of_value) - 0.5) / 0.99, -0.5, 0.5
                 )
-                return p_velocity, of, of_presence > 0
+                return velocity, of, of_presence > 0
 
             self._attr_fn = fn
         return self._attr_fn
@@ -372,13 +416,30 @@ class TransKun:
         intervals_batch = [
             path[i * n_sym : (i + 1) * n_sym] for i in range(n_batch)
         ]
-        n_intervals = sum(len(p) for p in path)
-        if n_intervals == 0:
-            return [[] for _ in range(n_batch)], [0] * len(path)
+        return self._attr_and_assemble(
+            params, ctx, intervals_batch, velocity_criterion, last_frame_idx
+        )
 
-        # pad decoded intervals into [N, P, K] for the jitted attribute heads
-        kmax = max(len(p) for p in path)
-        k = 8
+    def _attr_and_assemble(
+        self,
+        params,
+        ctx: Array,
+        intervals_batch,
+        velocity_criterion: str,
+        last_frame_idx: int,
+    ) -> Tuple[List[List[Note]], List[int]]:
+        """Attribute readout + Note assembly for decoded interval tracks
+        (the second half of ref ``transcribeFrames``)."""
+        n_batch = len(intervals_batch)
+        n_sym = len(self.targetMIDIPitch)
+        n_intervals = sum(len(p) for b in intervals_batch for p in b)
+        if n_intervals == 0:
+            return [[] for _ in range(n_batch)], [0] * (n_batch * n_sym)
+
+        # pad decoded intervals into [N, P, K] for the jitted attribute heads;
+        # K is fixed (doubling only on overflow) so the head compiles once
+        kmax = max(len(p) for b in intervals_batch for p in b)
+        k = 64
         while k < kmax:
             k *= 2
         begins = np.zeros((n_batch, n_sym, k), np.int32)
@@ -389,13 +450,13 @@ class TransKun:
                     begins[i, j, e_idx] = b
                     ends[i, j, e_idx] = e
 
-        p_velocity, of_value, of_presence = self._get_attr_fn()(
-            params, ctx, jnp.asarray(begins), jnp.asarray(ends)
+        velocity, of_value, of_presence = self._get_attr_fn()(
+            params, ctx, jnp.asarray(begins), jnp.asarray(ends),
+            criterion=velocity_criterion,
         )
-        p_velocity = np.asarray(p_velocity)
+        velocity = np.asarray(velocity)
         of_value = np.asarray(of_value)
         of_presence = np.asarray(of_presence)
-        velocity = self._velocity_readout(p_velocity, velocity_criterion)
 
         frame_dur = self.hopSize / self.fs
         notes: List[List[Note]] = [[] for _ in range(n_batch)]
@@ -423,7 +484,7 @@ class TransKun:
                             start=start,
                             end=end,
                             pitch=event_type,
-                            velocity=int(cur_velocity),
+                            velocity=cur_velocity.item(),
                             hasOnset=has_onset,
                             hasOffset=has_offset,
                         )
@@ -434,6 +495,120 @@ class TransKun:
             notes[i].sort(key=lambda x: (x.start, x.end, x.pitch))
         return notes, last_p
 
+    def _get_audio_decode_fn(self, last_frame_idx: int):
+        """Fused per-group device program: raw segment audio -> frames -> mel
+        -> backbone -> scorer -> Viterbi tables + boundary presence bits + ctx.
+        Nothing larger than the audio itself crosses the host link."""
+        key = ("audio_dec", last_frame_idx)
+        if key not in self._decode_fn:
+            hop, win = self.hopSize, self.windowSize
+            module = self.module
+
+            @jax.jit
+            def fn(params, seg_audio):  # [B, C, S]
+                frames = frontend.make_frame(seg_audio, hop, win)
+                s, noise, ctx = module.apply(
+                    params, frames, True, method=TransKunModule.process_frames
+                )
+                ptr, diag = semicrf.viterbi_backward_tables(s, noise)
+                n_edge = ctx.shape[2] - last_frame_idx
+                bpres = module.apply(
+                    params, ctx, n_edge,
+                    method=TransKunModule.boundary_offset_presence,
+                )
+                return ptr, diag, bpres, ctx
+
+            self._decode_fn[key] = fn
+        return self._decode_fn[key]
+
+    def _get_slice_fn(self, n_total: int, segment_size: int):
+        key = ("slice", n_total, segment_size)
+        if key not in self._decode_fn:
+
+            @jax.jit
+            def fn(audio, starts):  # audio [C, n_total], starts [B]
+                return jax.vmap(
+                    lambda s: jax.lax.dynamic_slice_in_dim(
+                        audio, s, segment_size, axis=-1
+                    )
+                )(starts)
+
+            self._decode_fn[key] = fn
+        return self._decode_fn[key]
+
+    def _transcribe_segment_group(
+        self,
+        params,
+        seg_audio: Array,
+        n_valid: int,
+        start_pos: List[int],
+        velocity_criterion: str,
+        onset_bound: Optional[int],
+        last_frame_idx: int,
+        step_frames: int,
+    ) -> Tuple[List[List[Note]], List[List[int]]]:
+        """Decode a batch of segments in one device program; the sequential
+        stitching chain (pointer walk + lastP) runs host-only using the
+        precomputed boundary presence bits, then one batched attribute call
+        assembles the whole group."""
+        n_sym = len(self.targetMIDIPitch)
+        n_batch = seg_audio.shape[0]
+        handles = self._get_audio_decode_fn(last_frame_idx)(params, seg_audio)
+        return self._process_group(
+            params, handles, n_valid, start_pos, velocity_criterion,
+            onset_bound, last_frame_idx, step_frames,
+        )
+
+    def _process_group(
+        self,
+        params,
+        handles,
+        n_valid: int,
+        start_pos: List[int],
+        velocity_criterion: str,
+        onset_bound: Optional[int],
+        last_frame_idx: int,
+        step_frames: int,
+    ) -> Tuple[List[List[Note]], List[List[int]]]:
+        n_sym = len(self.targetMIDIPitch)
+        ptr, diag, bpres, ctx = handles
+        n_batch = bpres.shape[0]
+        # one batched host fetch for all pointer-walk inputs
+        ptr_np, diag_np, bpres_np = jax.device_get((ptr, diag, bpres))
+
+        paths = []
+        group_start_pos: List[List[int]] = []
+        cur_start = list(start_pos)
+        for gi in range(n_valid):
+            cols = slice(gi * n_sym, (gi + 1) * n_sym)
+            path = semicrf.backtrack_backward(
+                ptr_np[:, cols], diag_np[:, cols], cur_start
+            )
+            if onset_bound is not None:
+                path = [[e for e in p if e[0] < onset_bound] for p in path]
+            paths.append(path)
+            # lastP: end of the last decoded interval whose offset is real
+            # (ref ``ModelTransformer.py:713-721``); edge-touching intervals
+            # consult the precomputed presence bits
+            last_p = []
+            for j in range(n_sym):
+                cur_last = 0
+                for (b, e) in path[j]:
+                    if e < last_frame_idx or bpres_np[gi, j, b, e - last_frame_idx]:
+                        cur_last = e
+                last_p.append(cur_last)
+            cur_start = [max(k - step_frames, 0) for k in last_p]
+            group_start_pos.append(cur_start)
+
+        # one attribute call for the whole group (pad to the compiled batch)
+        paths_padded = paths + [
+            [[] for _ in range(n_sym)] for _ in range(n_batch - n_valid)
+        ]
+        notes, _ = self._attr_and_assemble(
+            params, ctx, paths_padded, velocity_criterion, last_frame_idx
+        )
+        return notes[:n_valid], group_start_pos
+
     def transcribe(
         self,
         params,
@@ -443,11 +618,19 @@ class TransKun:
         discard_second_half: bool = False,
         merge_incomplete_event: bool = True,
         velocity_criterion: str = "hamming",
+        segment_batch: int = 4,
     ) -> List[Note]:
         """Full-piece streaming transcription with exact cross-segment
         stitching (ref ``transcribe``, ``ModelTransformer.py:729-848``).
 
         x: [nSample, nChannel] float waveform at conf.fs.
+
+        TPU-first restructuring of the reference loop: the per-segment device
+        work (forward + Viterbi tables + attribute heads) is independent of
+        the stitching state — only the host pointer walk consumes
+        ``forcedStartPos``.  So segments run through the device in batches of
+        ``segment_batch`` while the host walks pointers sequentially,
+        producing results identical to the one-segment-at-a-time reference.
         """
         if step_in_second is None and segment_size_in_second is None:
             step_in_second = self.segmentHopSizeInSecond
@@ -465,47 +648,73 @@ class TransKun:
 
         step_size = math.ceil(step_in_second * self.fs / self.hopSize) * self.hopSize
         segment_size = math.ceil(segment_size_in_second * self.fs)
+        last_frame_idx = round(segment_size / self.hopSize)
+        onset_bound = step_size if discard_second_half else None
 
-        for i in range(0, n_sample, step_size):
-            j = min(i + segment_size, n_sample)
-            begin_time = i / self.fs - pad_time_begin
-            cur = x[:, i:j]
-            if cur.shape[-1] < segment_size:
-                cur = np.pad(cur, ((0, 0), (0, segment_size - cur.shape[-1])))
-            frames = frontend.make_frame(
-                jnp.asarray(cur), self.hopSize, self.windowSize
-            )
-            last_frame_idx = round(segment_size / self.hopSize)
-            onset_bound = step_size if discard_second_half else None
-            cur_events, last_p = self.transcribe_frames(
+        # audio crosses the host->device link exactly once; a right guard pad
+        # of one segment keeps every dynamic slice in bounds (tail segments
+        # read zeros, matching the reference's zero-padded final windows)
+        dev_audio = jax.device_put(
+            np.pad(x, ((0, 0), (0, segment_size))).astype(np.float32)
+        )
+        slice_fn = self._get_slice_fn(dev_audio.shape[-1], segment_size)
+
+        starts = list(range(0, n_sample, step_size))
+        step_frames = int(step_size / self.hopSize)
+        decode_fn = self._get_audio_decode_fn(last_frame_idx)
+
+        # depth-1 pipeline: the next group's device work is dispatched before
+        # the current group's host walk/assembly, hiding device time behind
+        # host time (dispatch is async; only device_get blocks)
+        groups = [
+            starts[g0 : g0 + segment_batch]
+            for g0 in range(0, len(starts), segment_batch)
+        ]
+        handles: Dict[int, tuple] = {}
+
+        def dispatch(k: int):
+            if k < len(groups) and k not in handles:
+                grp = groups[k]
+                sp = grp + [0] * (segment_batch - len(grp))
+                handles[k] = decode_fn(
+                    params, slice_fn(dev_audio, jnp.asarray(sp, jnp.int32))
+                )
+
+        for g_idx, group in enumerate(groups):
+            dispatch(g_idx)
+            dispatch(g_idx + 1)
+            group_events, group_last_p = self._process_group(
                 params,
-                frames[None],
-                forced_start_pos=start_pos,
-                velocity_criterion=velocity_criterion,
-                onset_bound=onset_bound,
-                last_frame_idx=last_frame_idx,
+                handles.pop(g_idx),
+                len(group),
+                start_pos,
+                velocity_criterion,
+                onset_bound,
+                last_frame_idx,
+                step_frames=step_frames,
             )
-            cur_events = cur_events[0]
-            start_pos = [max(k - int(step_size / self.hopSize), 0) for k in last_p]
+            for gi, (i, cur_events) in enumerate(zip(group, group_events)):
+                begin_time = i / self.fs - pad_time_begin
+                start_pos = group_last_p[gi]
 
-            for e in cur_events:
-                e.start += begin_time
-                e.end += begin_time
-                e.start = max(e.start, 0)
-                e.end = max(e.end, e.start)
+                for e in cur_events:
+                    e.start += begin_time
+                    e.end += begin_time
+                    e.start = max(e.start, 0)
+                    e.end = max(e.end, e.start)
 
-            for e in cur_events:
-                if merge_incomplete_event and len(events_by_type[e.pitch]) > 0:
-                    last_e = events_by_type[e.pitch][-1]
-                    if e.start < last_e.end:
-                        if e.hasOnset:
-                            events_by_type[e.pitch][-1] = e
-                        else:
-                            last_e.hasOffset = e.hasOffset
-                            last_e.end = max(e.end, last_e.end)
-                        continue
-                if e.hasOnset:
-                    events_by_type[e.pitch].append(e)
+                for e in cur_events:
+                    if merge_incomplete_event and len(events_by_type[e.pitch]) > 0:
+                        last_e = events_by_type[e.pitch][-1]
+                        if e.start < last_e.end:
+                            if e.hasOnset:
+                                events_by_type[e.pitch][-1] = e
+                            else:
+                                last_e.hasOffset = e.hasOffset
+                                last_e.end = max(e.end, last_e.end)
+                            continue
+                    if e.hasOnset:
+                        events_by_type[e.pitch].append(e)
 
         # incomplete events in the final segment get a forced offset
         for event_type in events_by_type:

@@ -42,6 +42,14 @@ def make_frame(
         r_pad = (n_frame - 1) * hop_size + window_size - n
     pad = [(0, 0)] * (x.ndim - 1) + [(l_pad, r_pad)]
     x = jnp.pad(x, pad)
+    if window_size % hop_size == 0:
+        # gather-free framing: reshape into hop blocks and stack the
+        # window_size/hop shifted views — pure data movement XLA handles well
+        # (the generic gather path is pathologically slow on some backends)
+        k = window_size // hop_size
+        blocks = x.reshape(*x.shape[:-1], -1, hop_size)  # [..., nF+k-1, hop]
+        views = [blocks[..., w : w + n_frame, :] for w in range(k)]
+        return jnp.concatenate(views, axis=-1)
     # gather overlapping windows: indices [nFrame, windowSize]
     idx = jnp.arange(n_frame)[:, None] * hop_size + jnp.arange(window_size)[None, :]
     return x[..., idx]
