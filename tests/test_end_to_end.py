@@ -1,0 +1,151 @@
+"""Full-pipeline integration test on a synthetic corpus: MIDI+wav ->
+dataset build CLI -> training CLI (few steps, tiny model) -> transcribe CLI
+-> metrics CLI.  Exercises every console entry point end to end."""
+
+import csv
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from transkun_tpu.data.midi import write_midi
+from transkun_tpu.data.note import Note
+
+FS = 4000
+
+TINY_CONF = {
+    "Model": {
+        "module": "transkun_tpu.models.transkun",
+        "configClassName": "Config",
+        "config": {
+            "f_min": 30, "f_max": 1900, "n_mels": 32,
+            "hopSize": 64, "windowSize": 256, "fs": FS,
+            "nExtraWins": 2, "baseSize": 8, "nHead": 2, "nLayers": 1,
+            "scoringExpansionFactor": 2,
+            "segmentSizeInSecond": 2.0, "segmentHopSizeInSecond": 1.0,
+        },
+    }
+}
+
+
+def _synth_piece(rng, path_wav, path_mid, dur=6.0):
+    notes = []
+    t = 0.25
+    while t < dur - 0.6:
+        pitch = int(rng.integers(40, 90))
+        length = float(rng.uniform(0.2, 0.5))
+        notes.append(Note(t, t + length, pitch, int(rng.integers(30, 100))))
+        t += float(rng.uniform(0.3, 0.8))
+    notes.append(Note(0.5, dur - 0.5, -64, 127))
+    write_midi(sorted(notes, key=lambda n: (n.start, n.end, n.pitch)), path_mid)
+
+    x = np.zeros(int(dur * FS), np.float32)
+    tt = np.arange(len(x)) / FS
+    for n in notes:
+        if n.pitch > 0:
+            f0 = 440 * 2 ** ((n.pitch - 69) / 12)
+            if f0 < FS / 2:
+                env = ((tt >= n.start) & (tt < n.end)).astype(np.float32)
+                x += 0.1 * env * np.sin(2 * np.pi * f0 * tt).astype(np.float32)
+    wavfile.write(path_wav, FS, (np.clip(x, -1, 1) * 32000).astype(np.int16))
+    return notes
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("maestro")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, split in enumerate(["train", "train", "validation", "test"]):
+        year = "2020"
+        os.makedirs(root / year, exist_ok=True)
+        wav = f"{year}/piece{i}.wav"
+        mid = f"{year}/piece{i}.midi"
+        _synth_piece(rng, str(root / wav), str(root / mid), dur=6.0)
+        rows.append(
+            {
+                "canonical_composer": "synthetic",
+                "canonical_title": f"piece{i}",
+                "split": split,
+                "year": year,
+                "midi_filename": mid,
+                "audio_filename": wav,
+                "duration": 6.0,
+            }
+        )
+    meta = root / "meta.csv"
+    with open(meta, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    return root, meta
+
+
+def test_full_pipeline(corpus, tmp_path):
+    root, meta = corpus
+
+    # 1. dataset build CLI
+    from transkun_tpu.cli.create_dataset_maestro import main as build_main
+
+    out = tmp_path / "data"
+    build_main([str(root), str(meta), str(out)])
+    assert (out / "train.pickle").exists()
+
+    # 2. training CLI, a few steps on the tiny model
+    conf_path = tmp_path / "tiny.conf"
+    with open(conf_path, "w") as f:
+        json.dump(TINY_CONF, f)
+
+    from transkun_tpu.cli.train import main as train_main
+
+    ckpt = tmp_path / "ckpt"
+    train_main(
+        [
+            str(ckpt),
+            "--datasetPath", str(root),
+            "--datasetMetaFile_train", str(out / "train.pickle"),
+            "--datasetMetaFile_val", str(out / "val.pickle"),
+            "--modelConf", str(conf_path),
+            "--batchSize", "2",
+            "--maxEpoch", "1",
+            "--nDevices", "2",
+            "--nIter", "100",
+            "--statsEvery", "8",
+            "--maxEvents", "16",
+        ]
+    )
+    assert ckpt.exists()
+
+    # 3. transcribe CLI with the trained checkpoint
+    from transkun_tpu.cli.transcribe import main as transcribe_main
+
+    est_dir = tmp_path / "est" / "2020"
+    os.makedirs(est_dir)
+    transcribe_main(
+        [
+            str(root / "2020" / "piece3.wav"),
+            str(est_dir / "piece3.midi"),
+            "--weight", str(ckpt),
+            "--conf", str(conf_path),
+        ]
+    )
+    assert (est_dir / "piece3.midi").exists()
+
+    # 4. metrics CLI est-vs-GT
+    from transkun_tpu.cli.compute_metrics import main as metrics_main
+
+    gt_dir = tmp_path / "gt" / "2020"
+    os.makedirs(gt_dir)
+    import shutil
+
+    shutil.copy(root / "2020" / "piece3.midi", gt_dir / "piece3.midi")
+    out_json = tmp_path / "metrics.json"
+    metrics_main(
+        [str(tmp_path / "est"), str(tmp_path / "gt"), "--outputJSON", str(out_json)]
+    )
+    metrics = json.load(open(out_json))
+    assert "note" in metrics["aggregated"]
+    assert metrics["detailed"][0]["name"].endswith("piece3.midi")

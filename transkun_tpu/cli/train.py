@@ -1,0 +1,239 @@
+"""Training CLI (counterpart of ``python3 -m transkun.train``,
+``transkun/train.py:357-404``).
+
+Single-host, data-parallel over every local TPU chip via the dp mesh (the
+reference spawns one NCCL process per GPU; here one process drives all chips
+through pjit/shard_map).  Usage:
+
+    python -m transkun_tpu.cli.train ckpt_dir \
+        --datasetPath ... --datasetMetaFile_train train.pickle \
+        --datasetMetaFile_val val.pickle --modelConf conf.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("Perform Training")
+    parser.add_argument("saved_filename", help="checkpoint directory")
+    parser.add_argument("--datasetPath", required=True)
+    parser.add_argument("--datasetMetaFile_train", required=True)
+    parser.add_argument("--datasetMetaFile_val", required=True)
+    parser.add_argument("--batchSize", default=4, type=int, help="per-device batch")
+    parser.add_argument("--hopSize", required=False, type=float)
+    parser.add_argument("--chunkSize", required=False, type=float)
+    parser.add_argument("--gradClippingQuantile", default=0.8, type=float)
+    parser.add_argument("--max_lr", default=2e-4, type=float)
+    parser.add_argument("--weight_decay", default=1e-4, type=float)
+    parser.add_argument("--nIter", default=180000, type=int)
+    parser.add_argument("--modelConf", required=True)
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--noiseFolder", required=False)
+    parser.add_argument("--irFolder", required=False)
+    parser.add_argument("--maxEpoch", default=1000000, type=int)
+    parser.add_argument("--maxEvents", default=32, type=int,
+                        help="per-track padded event capacity per chunk")
+    parser.add_argument("--nDevices", default=None, type=int)
+    parser.add_argument("--statsEvery", default=40, type=int)
+    parser.add_argument("--ckptEvery", default=2000, type=int)
+    args = parser.parse_args(argv)
+
+    from ..utils.jax_setup import setup_cache
+
+    setup_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import dataset as D
+    from ..data.augment import Augmentator
+    from ..data.labels import encode_batch
+    from ..models.config import parse_conf_file
+    from ..ops import frontend
+    from ..parallel import make_mesh
+    from ..train import init_train_state, make_optimizer, make_train_step
+    from ..train.checkpoint import load_checkpoint, save_checkpoint
+    from ..train.step import TrainState
+    from ..train.optim import QuantileClipState
+    from ..train.validate import do_validation
+
+    module_mod, conf = parse_conf_file(args.modelConf)
+    model = module_mod.TransKun(conf)
+
+    run_seed = int(time.time())
+    n_dev = args.nDevices or jax.local_device_count()
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    global_batch = args.batchSize * max(n_dev, 1)
+    print(f"devices: {n_dev}, global batch: {global_batch}")
+
+    params = model.init(jax.random.PRNGKey(run_seed))
+    optimizer = make_optimizer(
+        params["params"],
+        max_lr=args.max_lr,
+        weight_decay=args.weight_decay,
+        n_iter=args.nIter,
+    )
+    step_fn = make_train_step(
+        model.module, optimizer, mesh=mesh, clip_quantile=args.gradClippingQuantile
+    )
+    state = init_train_state(params, optimizer)
+    best_params = params
+    loss_tracker = {"train": [], "val": []}
+    start_epoch = 0
+
+    ckpt_path = args.saved_filename
+    if os.path.exists(ckpt_path):
+        print("resuming from checkpoint...")
+        ckpt = load_checkpoint(ckpt_path)
+        state = TrainState(
+            params=ckpt["params"],
+            opt_state=ckpt["opt_state"],
+            clip_state=QuantileClipState(ckpt["clip_buffer"], ckpt["clip_idx"]),
+            step=ckpt["step"],
+        )
+        best_params = ckpt.get("best_params", ckpt["params"])
+        extra = ckpt.get("extra", {}) or {}
+        loss_tracker = extra.get("loss_tracker", loss_tracker)
+        start_epoch = int(extra.get("epoch", 0))
+
+    dataset = D.DatasetMaestro(args.datasetPath, args.datasetMetaFile_train)
+    dataset_val = D.DatasetMaestro(args.datasetPath, args.datasetMetaFile_val)
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(ckpt_path + ".log")
+    except Exception:
+        writer = None
+
+    hop = args.hopSize or conf.segmentHopSizeInSecond
+    chunk = args.chunkSize or conf.segmentSizeInSecond
+    augmentator = None
+    if args.augment:
+        augmentator = Augmentator(
+            sampleRate=conf.fs,
+            noiseFolder=args.noiseFolder,
+            convIRFolder=args.irFolder,
+        )
+
+    frame_fn = jax.jit(
+        lambda x: frontend.make_frame(
+            jnp.swapaxes(x, -1, -2), conf.hopSize, conf.windowSize
+        )
+    )
+
+    global_step = int(state.step)
+    for epoch in range(start_epoch, args.maxEpoch):
+        data_iter = D.DatasetMaestroIterator(
+            dataset, hop, chunk,
+            seed=epoch * 100 + run_seed,
+            augmentator=augmentator,
+            notes_strictly_contained=False,
+        )
+        loader = D.BatchLoader(
+            data_iter, global_batch, shuffle=True, seed=epoch, drop_last=True
+        )
+        loss_all = []
+        for idx, batch in enumerate(loader):
+            t1 = time.time()
+            audio = batch["audioSlices"]
+            notes_batch = batch["notes"]
+            frames = frame_fn(jnp.asarray(audio))
+            labels = encode_batch(
+                notes_batch, conf.hopSize / conf.fs, model.targetMIDIPitch,
+                args.maxEvents,
+            )
+            state, metrics = step_fn(
+                state,
+                frames,
+                tuple(jnp.asarray(a) for a in labels.astuple()),
+                jax.random.PRNGKey(global_step * 7919 + run_seed),
+            )
+            loss = float(metrics["loss"])
+            gnorm = float(metrics["grad_norm"])
+            clipv = float(metrics["clip_value"])
+            t2 = time.time()
+            print(
+                f"epoch:{epoch} progress:{idx / max(len(loader),1):0.3f} "
+                f"step:{global_step} loss:{loss:0.4f} gradNorm:{gnorm:0.2f} "
+                f"clipValue:{clipv:0.2f} time:{t2 - t1:0.2f}"
+            )
+            if writer:
+                writer.add_scalar("Loss/train", loss, global_step)
+                writer.add_scalar("Optimizer/gradNorm", gnorm, global_step)
+                writer.add_scalar("Optimizer/clipValue", clipv, global_step)
+
+            if idx % args.statsEvery == 0:
+                stats = model.compute_stats(state.params, audio, notes_batch)
+                stats2 = model.compute_stats_mireval(state.params, audio, notes_batch)
+                n_gt = stats2["nGT"] + 1e-4
+                n_est = stats2["nEst"] + 1e-4
+                n_cor = stats2["nCorrect"] + 1e-4
+                p, r = n_cor / n_est, n_cor / n_gt
+                f1 = 2 * p * r / (p + r)
+                fw_p = (stats["nCorrectFramewise"] + 1e-4) / (stats["nEstFramewise"] + 1e-4)
+                fw_r = (stats["nCorrectFramewise"] + 1e-4) / (stats["nGTFramewise"] + 1e-4)
+                fw_f1 = 2 * fw_p * fw_r / (fw_p + fw_r)
+                print(f"f1:{f1:.4f} precision:{p:.4f} recall:{r:.4f} f1Frame:{fw_f1:.4f}")
+                if writer:
+                    writer.add_scalar("Loss/train_f1", f1, global_step)
+                    writer.add_scalar("Loss/train_precision", p, global_step)
+                    writer.add_scalar("Loss/train_recall", r, global_step)
+                    writer.add_scalar("Loss/train_f1_frame", fw_f1, global_step)
+                    writer.add_scalar(
+                        "Loss/train_mse_velocity", stats["seVelocityForced"] / n_gt,
+                        global_step,
+                    )
+                    writer.add_scalar(
+                        "Loss/train_mse_OF", stats["seOFForced"] / n_gt, global_step
+                    )
+
+            if math.isnan(loss):
+                print("NaN loss, aborting")
+                raise SystemExit(1)
+            loss_all.append(loss)
+
+            if idx % args.ckptEvery == args.ckptEvery - 1:
+                save_checkpoint(
+                    ckpt_path, state, best_params,
+                    {"loss_tracker": loss_tracker, "epoch": epoch},
+                )
+                print("saved")
+            global_step += 1
+
+        # validation
+        print("Validating...")
+        val_iter = D.DatasetMaestroIterator(
+            dataset_val,
+            conf.segmentHopSizeInSecond,
+            chunk,
+            notes_strictly_contained=False,
+            seed=run_seed + epoch * 100,
+        )
+        val_loader = D.BatchLoader(
+            val_iter, 2 * global_batch, shuffle=True, seed=epoch, drop_last=True
+        )
+        val_result = do_validation(model, state.params, val_loader, conf.fs)
+        print("result:", val_result)
+        if writer:
+            for k, v in val_result.items():
+                writer.add_scalar("val/" + k, v, epoch)
+
+        loss_tracker["train"].append(sum(loss_all) / max(len(loss_all), 1))
+        loss_tracker["val"].append(val_result["f1"])
+        if val_result["f1"] >= max(loss_tracker["val"]):
+            print("best updated")
+            best_params = jax.tree.map(lambda x: x, state.params)
+        save_checkpoint(
+            ckpt_path, state, best_params,
+            {"loss_tracker": loss_tracker, "epoch": epoch + 1},
+        )
+
+
+if __name__ == "__main__":
+    main()

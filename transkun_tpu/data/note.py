@@ -98,7 +98,11 @@ def parse_control_change_switch(
                 current = Note(time, None, -control_number, 127)
             else:
                 current.end = time
-                events.append(current)
+                # zero-length switch events (on/off at the same quantized
+                # tick) are degenerate — drop them so downstream invariants
+                # hold even for pathological inputs
+                if current.end > current.start:
+                    events.append(current)
         running = status
     if running and end_t is not None:
         current.end = max(end_t, time)

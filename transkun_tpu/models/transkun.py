@@ -315,6 +315,99 @@ class TransKun:
             deterministic=deterministic,
         )
 
+    # -- training-time metrics ---------------------------------------------
+
+    def compute_stats(self, params, audio_batch, notes_batch) -> Dict[str, float]:
+        """Decode-vs-GT bracket + framewise counts and forced velocity/OF
+        square errors (ref ``computeStats``, ``ModelTransformer.py:388-499``)."""
+        from ..eval.evaluation import compare_bracket, compare_framewise
+
+        x = jnp.swapaxes(jnp.asarray(audio_batch), -1, -2)
+        frames = frontend.make_frame(x, self.hopSize, self.windowSize)
+        n_batch = frames.shape[0]
+        n_sym = len(self.targetMIDIPitch)
+
+        ptr, diag, ctx = self._get_decode_fn()(params, frames)
+        path = semicrf.backtrack_backward(np.asarray(ptr), np.asarray(diag))
+
+        intervals_batch = []
+        velocity_gt = []
+        of_gt = []
+        for notes in notes_batch:
+            data = prepare_intervals(
+                notes, self.hopSize / self.fs, self.targetMIDIPitch
+            )
+            intervals_batch.append(data["intervals"])
+            velocity_gt.append([v for track in data["velocity"] for v in track])
+            of_gt.append([r for track in data["endPointRefine"] for r in track])
+        flat_gt = [t for b in intervals_batch for t in b]
+        assert len(path) == len(flat_gt)
+
+        stats_all = [compare_bracket(l1, l2) for l1, l2 in zip(path, flat_gt)]
+        n_gt = sum(s[0] for s in stats_all)
+        n_est = sum(s[1] for s in stats_all)
+        n_correct = sum(s[2] for s in stats_all)
+        fw = [compare_framewise(l1, l2) for l1, l2 in zip(path, flat_gt)]
+        n_gt_fw = sum(s[0] for s in fw)
+        n_est_fw = sum(s[1] for s in fw)
+        n_correct_fw = sum(s[2] for s in fw)
+
+        # forced attribute predictions on the GT intervals
+        k = max(
+            (len(t) for b in intervals_batch for t in b), default=1
+        )
+        k = max(k, 1)
+        begins = np.zeros((n_batch, n_sym, k), np.int32)
+        ends = np.zeros((n_batch, n_sym, k), np.int32)
+        mask = np.zeros((n_batch, n_sym, k), bool)
+        vel_arr = np.zeros((n_batch, n_sym, k), np.float64)
+        of_arr = np.zeros((n_batch, n_sym, k, 2), np.float64)
+        for i, b in enumerate(intervals_batch):
+            vi = 0
+            for j, track in enumerate(b):
+                for e_idx, (bb, ee) in enumerate(track):
+                    begins[i, j, e_idx] = bb
+                    ends[i, j, e_idx] = ee
+                    mask[i, j, e_idx] = True
+                    vel_arr[i, j, e_idx] = velocity_gt[i][vi]
+                    of_arr[i, j, e_idx] = of_gt[i][vi]
+                    vi += 1
+        velocity, of_value, _ = self._get_attr_fn()(
+            params, ctx, jnp.asarray(begins), jnp.asarray(ends), criterion="mse"
+        )
+        velocity = np.asarray(velocity)
+        of_value = np.asarray(of_value)
+        se_velocity = float((((velocity - vel_arr) ** 2) * mask).sum())
+        se_of = float((((of_value - of_arr) ** 2) * mask[..., None]).sum())
+
+        return {
+            "nGT": n_gt,
+            "nEst": n_est,
+            "nCorrect": n_correct,
+            "nGTFramewise": n_gt_fw,
+            "nEstFramewise": n_est_fw,
+            "nCorrectFramewise": n_correct_fw,
+            "seVelocityForced": se_velocity,
+            "seOFForced": se_of,
+        }
+
+    def compute_stats_mireval(self, params, audio_batch, notes_batch):
+        """Note+offset counts via full decode + matching (ref
+        ``computeStatsMIREVAL``, ``ModelTransformer.py:334-380``)."""
+        from ..eval.evaluation import compare_transcription
+
+        x = jnp.swapaxes(jnp.asarray(audio_batch), -1, -2)
+        frames = frontend.make_frame(x, self.hopSize, self.windowSize)
+        notes_est, _ = self.transcribe_frames(params, frames)
+        n_gt_total = n_est_total = n_correct_total = 0.0
+        for est, gt in zip(notes_est, notes_batch):
+            metrics = compare_transcription(est, gt)
+            _, r, _, _ = metrics["note+offset"]
+            n_gt_total += metrics["nGT"]
+            n_est_total += metrics["nEst"]
+            n_correct_total += r * metrics["nGT"]
+        return {"nGT": n_gt_total, "nEst": n_est_total, "nCorrect": n_correct_total}
+
     # -- inference ----------------------------------------------------------
 
     def _get_decode_fn(self):
@@ -455,7 +548,9 @@ class TransKun:
             criterion=velocity_criterion,
         )
         velocity = np.asarray(velocity)
-        of_value = np.asarray(of_value)
+        # float64 on host so tiny epsilons survive (the reference assembles
+        # notes in Python floats)
+        of_value = np.asarray(of_value, np.float64)
         of_presence = np.asarray(of_presence)
 
         frame_dur = self.hopSize / self.fs

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.transkun import TransKunModule, log_prob_padded
 from .optim import QuantileClipState, quantile_clip, quantile_clip_init
@@ -106,7 +106,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(rep, batch_spec, batch_spec, rep),
         out_specs=rep,
-        check_rep=False,
+        check_vma=False,
     )
     def grad_shard(params, frames, labels, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
