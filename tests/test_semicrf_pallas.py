@@ -1,0 +1,49 @@
+"""Pallas kernel correctness vs the scan oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transkun_tpu.ops import semicrf
+from transkun_tpu.ops import semicrf_pallas as sp
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    sp.INTERPRET = jax.default_backend() != "tpu"
+    yield
+    sp.INTERPRET = False
+
+
+@pytest.mark.parametrize("t,nb", [(10, 3), (40, 7), (100, 130)])
+def test_viterbi_tables_match_scan(rng, t, nb):
+    s = jnp.asarray(rng.normal(size=(t, t, nb)).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=(t - 1, nb)).astype(np.float32))
+    ptr_p, diag_p = sp.viterbi_backward_tables(s, n)
+    ptr_s, diag_s = semicrf.viterbi_backward_tables(s, n)
+    np.testing.assert_array_equal(np.asarray(ptr_p), np.asarray(ptr_s))
+    np.testing.assert_array_equal(np.asarray(diag_p), np.asarray(diag_s))
+
+
+@pytest.mark.parametrize("t,nb", [(10, 3), (40, 7)])
+def test_alpha_and_logz_match_scan(rng, t, nb):
+    s = jnp.asarray(rng.normal(size=(t, t, nb)).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=(t - 1, nb)).astype(np.float32))
+    v_p = sp.alpha_table(s, n)
+    v_s = semicrf._alpha_scan(s, n)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_s), atol=2e-4)
+
+    lz_p = sp.log_z(s, n)
+    lz_s = semicrf.log_z(s, n)
+    np.testing.assert_allclose(np.asarray(lz_p), np.asarray(lz_s), atol=2e-4)
+
+
+def test_logz_gradients_match_scan(rng):
+    t, nb = 24, 4
+    s = jnp.asarray(rng.normal(size=(t, t, nb)).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=(t - 1, nb)).astype(np.float32))
+    gp = jax.grad(lambda a, b: sp.log_z(a, b).sum(), argnums=(0, 1))(s, n)
+    gs = jax.grad(lambda a, b: semicrf.log_z(a, b).sum(), argnums=(0, 1))(s, n)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-3)

@@ -408,7 +408,7 @@ class TransKunAblation:
                     begins.reshape(n * p, k), ends.reshape(n * p, k),
                     mask.reshape(n * p, k),
                 )
-                logz = semicrf.log_z(s, s_skip)
+                logz = semicrf.log_z_best(s, s_skip)
                 logp = (path - logz).reshape(n, p)
                 ctx4 = ctx[:, None, :, :].repeat(p, axis=1)
                 ctx_a = jnp.take_along_axis(ctx4, begins[..., None], axis=2)
@@ -452,7 +452,7 @@ class TransKunAblation:
                 s, s_skip, ctx = self.module.apply(
                     params, frames, True, method=TransKunAblationModule.process_frames
                 )
-                ptr, diag = semicrf.viterbi_backward_tables(s, s_skip)
+                ptr, diag = semicrf.viterbi_backward_tables_best(s, s_skip)
                 return ptr, diag, ctx
 
             self._fns[key] = fn

@@ -231,6 +231,7 @@ class ScaledInnerProductIntervalScorer(nn.Module):
     expansion_factor: int = 1
     dropout: float = 0.0
     length_scaling: str = "linear"
+    score_dtype: Any = None  # e.g. jnp.bfloat16: halves the HBM cost of S
 
     @nn.compact
     def __call__(self, ctx: Array) -> Tuple[Array, Array]:
@@ -238,7 +239,14 @@ class ScaledInnerProductIntervalScorer(nn.Module):
         mapped = nn.Dense(2 * e + 1, name="map")(ctx)
         q, k, diag = jnp.split(mapped, [e, 2 * e], axis=-1)
         q = q / math.sqrt(q.shape[-1])
-        s = jnp.einsum("iped,ipbd->ipeb", q, k)
+        if self.score_dtype is not None:
+            q = q.astype(self.score_dtype)
+            k = k.astype(self.score_dtype)
+            diag = diag.astype(self.score_dtype)
+        s = jnp.einsum(
+            "iped,ipbd->ipeb", q, k,
+            preferred_element_type=self.score_dtype or jnp.float32,
+        )
         t = s.shape[-1]
         len_eb = jnp.abs(jnp.arange(t)[:, None] - jnp.arange(t)[None, :]).astype(s.dtype)
         if self.length_scaling == "linear":

@@ -133,6 +133,7 @@ class TransKunModule(nn.Module):
             conf.baseSize * conf.scoringExpansionFactor,
             1,
             dropout=conf.scoreDropoutProb,
+            score_dtype=self.compute_dtype,
         )
         self.velocityPredictor = MLPHead(
             conf.velocityPredictorHiddenSize, 128, conf.velocityDropoutProb
@@ -233,7 +234,7 @@ def log_prob_padded(
     path = semicrf.eval_path_padded(
         s, noise, begins.reshape(n * p, k), ends.reshape(n * p, k), mask.reshape(n * p, k)
     )
-    logz = semicrf.log_z(s, noise)
+    logz = semicrf.log_z_best(s, noise)
     logp = (path - logz).reshape(n, p)
 
     ctx_a = _gather_ctx(ctx, begins)
@@ -420,7 +421,7 @@ class TransKun:
                 s, noise, ctx = self.module.apply(
                     params, frames, True, method=TransKunModule.process_frames
                 )
-                ptr, diag = semicrf.viterbi_backward_tables(s, noise)
+                ptr, diag = semicrf.viterbi_backward_tables_best(s, noise)
                 return ptr, diag, ctx
 
             self._decode_fn["main"] = fn
@@ -605,7 +606,7 @@ class TransKun:
                 s, noise, ctx = module.apply(
                     params, frames, True, method=TransKunModule.process_frames
                 )
-                ptr, diag = semicrf.viterbi_backward_tables(s, noise)
+                ptr, diag = semicrf.viterbi_backward_tables_best(s, noise)
                 n_edge = ctx.shape[2] - last_frame_idx
                 bpres = module.apply(
                     params, ctx, n_edge,

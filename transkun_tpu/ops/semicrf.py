@@ -62,6 +62,8 @@ def _alpha_scan(score: Array, noise: Array) -> Array:
     Returns the full alpha table v[T, N]; logZ = v[-1].
     """
     T, _, N = score.shape
+    score = score.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
     spdiag = jax.nn.softplus(_diag(score))  # [T, N]
     v0 = jnp.zeros((T, N), score.dtype).at[0].set(spdiag[0])
     pos = jnp.arange(T)[:, None]
@@ -113,7 +115,7 @@ def _marginals(
     """
     T = score.shape[0]
     spdiag = jax.nn.softplus(_diag(score))  # [T, N]
-    g = v[None, :, :] + q[:, None, :] + score - logz[None, None, :]
+    g = v[None, :, :] + q[:, None, :] + score.astype(v.dtype) - logz[None, None, :]
     eye = jnp.eye(T, dtype=bool)[:, :, None]
     g = g - jnp.where(eye, 2.0 * spdiag[:, None, :], 0.0)
     tril = jnp.tril(jnp.ones((T, T), dtype=bool))[:, :, None]
@@ -142,7 +144,10 @@ def _log_z_fwd(score, noise):
 def _log_z_bwd(res, g):
     score, noise, v, q, logz = res
     grad, grad_noise = _marginals(score, noise, v, q, logz)
-    return grad * g[None, None, :], grad_noise * g[None, :]
+    return (
+        (grad * g[None, None, :]).astype(score.dtype),
+        (grad_noise * g[None, :]).astype(noise.dtype),
+    )
 
 
 log_z.defvjp(_log_z_fwd, _log_z_bwd)
@@ -158,6 +163,37 @@ def marginals(score: Array, noise: Array) -> Tuple[Array, Array, Array]:
     logz, v, q = _forward_backward(score, noise)
     grad, grad_noise = _marginals(score, noise, v, q, logz)
     return logz, grad, grad_noise
+
+
+# ---------------------------------------------------------------------------
+# Backend dispatch: Pallas blocked-DP kernels on TPU, scan elsewhere
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas() -> bool:
+    import os
+
+    return jax.default_backend() == "tpu" and not os.environ.get(
+        "TRANSKUN_TPU_NO_PALLAS"
+    )
+
+
+def log_z_best(score: Array, noise: Array) -> Array:
+    """logZ via the fastest available backend (Pallas kernel on TPU)."""
+    if _use_pallas():
+        from . import semicrf_pallas
+
+        return semicrf_pallas.log_z(score, noise)
+    return log_z(score, noise)
+
+
+def viterbi_backward_tables_best(score: Array, noise: Array):
+    """Viterbi tables via the fastest available backend."""
+    if _use_pallas():
+        from . import semicrf_pallas
+
+        return semicrf_pallas.viterbi_backward_tables(score, noise)
+    return viterbi_backward_tables(score, noise)
 
 
 # ---------------------------------------------------------------------------
@@ -243,6 +279,8 @@ def viterbi_backward_tables(score: Array, noise: Array) -> Tuple[Array, Array]:
     (``:12-104``) including the skip-wins-ties convention.
     """
     T, _, N = score.shape
+    score = score.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
     diag = _diag(score)  # [T, N]
     diag_gate = diag * (diag > 0)
     score_t = jnp.swapaxes(score, 0, 1)  # [begin, end, N]
@@ -276,6 +314,8 @@ def viterbi_forward_tables(score: Array, noise: Array) -> Tuple[Array, Array]:
     into position ``i``: -1 = skip from i-1, j >= 0 = interval (j, i).
     """
     T, _, N = score.shape
+    score = score.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
     diag = _diag(score)
     diag_gate = diag * (diag > 0)
     v0 = jnp.zeros((T, N), score.dtype).at[0].set(diag_gate[0])

@@ -1,0 +1,287 @@
+"""Pallas TPU kernels for the semi-Markov CRF dynamic programs.
+
+The recurrences (``semicrf._alpha_scan`` / ``viterbi_backward_tables``) are
+not first-order: step ``i`` reads every earlier state.  The XLA scan version
+issues T sequential steps of tiny sliced ops — measured ~140x off the HBM
+roofline on v5e.  These kernels block the DP: positions are processed in
+blocks of ``KP``; per block, the contribution of all *finalized* states
+("far" part) is one full-stripe masked reduction over a [T, KP, lanes] VMEM
+tile (the score tensor streams through VMEM exactly once), and only the tiny
+within-block corner runs sequentially.  The lane dimension (batch*tracks,
+padded to 128) is the outer grid axis.
+
+Padding is exact by construction: padded score entries are -inf-like, padded
+noise is 0, so padded positions reduce to skip chains that do not change any
+real state (see ``_pad_inputs``).
+
+Exposed:
+* ``viterbi_backward_tables(score, noise)`` — drop-in for the scan version
+  (identical pointer semantics including skip-wins-ties / smallest-end ties).
+* ``alpha_table(score, noise)``            — the full forward (alpha) table.
+* ``log_z(score, noise)``                  — custom-VJP logZ using one
+  doubled-batch alpha kernel pass; marginals stay in XLA (one fused
+  elementwise pass over the score tensor).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import semicrf as _scan
+
+NEG = -1e30
+LN = 128  # lane block (batch*track axis)
+KP = 8  # positions per sequential block
+
+# interpret mode lets the kernels run (slowly) on CPU for testing
+INTERPRET = False
+
+
+def _call_kwargs():
+    return {"interpret": INTERPRET}
+
+
+def _ceil(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Right-to-left Viterbi (the decoder)
+# ---------------------------------------------------------------------------
+
+
+def _viterbi_bwd_kernel(st_ref, noise_ref, diag_ref, ptr_ref, q_ref):
+    # st_ref:   [KP, Tp, LN] stripe of score^T[p0:p0+KP, :, lane block]
+    #           (leading dim = begin position p, sublane dim = end position e,
+    #            so every op aligns with the q table layout [Tp, LN])
+    # noise_ref/diag_ref/ptr_ref: [KP, LN] rows p0..p0+KP
+    # q_ref:    [Tp, LN] scratch, persists across the sequential i steps
+    i = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    tp = q_ref.shape[0]
+    p0 = (n_steps - 1 - i) * KP
+
+    stripe = st_ref[...].astype(jnp.float32)  # [KP, Tp, LN]
+    e_idx = jax.lax.broadcasted_iota(jnp.int32, (KP, tp, LN), 1)
+
+    @pl.when(i == 0)
+    def _():
+        q_ref[...] = jnp.zeros_like(q_ref)
+
+    # far part: best interval into any finalized end e >= p0+KP
+    far_mask = e_idx >= p0 + KP
+    cand = jnp.where(far_mask, q_ref[...][None, :, :] + stripe, NEG)
+    far_max = jnp.max(cand, axis=1)  # [KP, LN]
+    hit = cand == far_max[:, None, :]
+    far_idx = jnp.min(
+        jnp.where(hit & far_mask, e_idx, jnp.int32(2**30)), axis=1
+    )  # smallest end wins ties (torch argmax-first semantics)
+
+    sub = st_ref[:, pl.ds(p0, KP), :]  # [KP(p_rel), KP(e_rel), LN]
+    rel_idx = jax.lax.broadcasted_iota(jnp.int32, (KP, LN), 0)
+
+    # within-block sweep, unrolled so every block-relative index is static
+    for k in range(KP):
+        p_rel = KP - 1 - k
+        p = p0 + p_rel
+        is_top = jnp.logical_and(i == 0, k == 0)
+
+        qblock = q_ref[pl.ds(p0, KP)]  # [KP, LN]
+        wcand = jnp.where(
+            rel_idx > p_rel, qblock + sub[p_rel].astype(jnp.float32), NEG
+        )  # [KP(e_rel), LN]
+        wmax = jnp.max(wcand, axis=0)  # [LN]
+        whit = wcand == wmax[None]
+        widx = jnp.min(
+            jnp.where(whit & (rel_idx > p_rel), rel_idx, jnp.int32(2**30)), axis=0
+        )
+
+        best = jnp.where(wmax >= far_max[p_rel], wmax, far_max[p_rel])
+        best_e = jnp.where(wmax >= far_max[p_rel], p0 + widx, far_idx[p_rel])
+
+        skip = q_ref[jnp.minimum(p + 1, tp - 1)] + noise_ref[p_rel]
+        skip = jnp.where(is_top, NEG, skip)
+
+        take_skip = skip >= best
+        sel = jnp.where(take_skip, -1, best_e - (p + 1)).astype(jnp.int32)
+        val = jnp.maximum(skip, best)
+        val = jnp.where(is_top, 0.0, val)
+        sel = jnp.where(is_top, -1, sel)
+
+        q_ref[p] = val + diag_ref[p_rel]
+        ptr_ref[p_rel] = sel
+
+
+def _pad_inputs(score, noise, extra):
+    """Pad (score, noise, extra[T,N]) to (Tp, Tp, NBp)/(Tp, NBp) so that the
+    padded DP is an exact extension: no intervals touch padding, padded skip
+    steps carry zero weight."""
+    t, _, nb = score.shape
+    tp, nbp = _ceil(t, KP), _ceil(nb, LN)
+    score = jnp.pad(
+        score, ((0, tp - t), (0, tp - t), (0, nbp - nb)), constant_values=NEG
+    )
+    noise = jnp.pad(noise.astype(jnp.float32), ((0, tp - t + 1), (0, nbp - nb)))
+    extra = jnp.pad(extra.astype(jnp.float32), ((0, tp - t), (0, nbp - nb)))
+    return score, noise, extra, t, nb, tp, nbp
+
+
+def viterbi_backward_tables(score, noise) -> Tuple[jax.Array, jax.Array]:
+    """Pallas drop-in for ``semicrf.viterbi_backward_tables``."""
+    diag = jnp.einsum("iin->in", score).astype(jnp.float32)
+    diag_gate = diag * (diag > 0)
+    s_pad, n_pad, d_pad, t, nb, tp, nbp = _pad_inputs(score, noise, diag_gate)
+
+    s_pad = jnp.swapaxes(s_pad, 0, 1)  # [begin, end, NB]
+    grid = (nbp // LN, tp // KP)
+    n_steps = tp // KP
+    ptr = pl.pallas_call(
+        _viterbi_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (KP, tp, LN), lambda j, i: (n_steps - 1 - i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (KP, LN), lambda j, i: (n_steps - 1 - i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (KP, LN), lambda j, i: (n_steps - 1 - i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (KP, LN), lambda j, i: (n_steps - 1 - i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, nbp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tp, LN), jnp.float32)],
+        **_call_kwargs(),
+    )(s_pad, n_pad, d_pad)
+    return ptr[: t - 1, :nb], diag > 0
+
+
+# ---------------------------------------------------------------------------
+# Alpha (forward logsumexp) table
+# ---------------------------------------------------------------------------
+
+
+def _alpha_kernel(s_ref, noise_ref, spdiag_ref, v_out_ref, v_ref):
+    # s_ref:  [KP, Tp, LN] stripe of score[i0:i0+KP, :, lane block]
+    # noise_ref: [KP, LN] noise_shift rows (noise_shift[i] = noise[i-1])
+    # spdiag_ref: [KP, LN]; v_out_ref: [KP, LN]; v_ref: [Tp, LN] scratch
+    i = pl.program_id(1)
+    tp = v_ref.shape[0]
+    i0 = i * KP
+
+    stripe = s_ref[...].astype(jnp.float32)  # [KP, Tp, LN]
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (KP, tp, LN), 1)
+
+    @pl.when(i == 0)
+    def _():
+        v_ref[...] = jnp.zeros_like(v_ref)
+
+    # far: logsumexp over finalized j < i0
+    far_mask = j_idx < i0
+    cand = jnp.where(far_mask, v_ref[...][None, :, :] + stripe, NEG)
+    far_m = jnp.max(cand, axis=1)  # [KP, LN]
+    far_s = jnp.sum(jnp.where(far_mask, jnp.exp(cand - far_m[:, None, :]), 0.0), axis=1)
+
+    sub = s_ref[:, pl.ds(i0, KP), :]  # [KP(i_rel), KP(j_rel), LN]
+    rel_idx = jax.lax.broadcasted_iota(jnp.int32, (KP, LN), 0)
+
+    for k in range(KP):
+        i_abs = i0 + k
+        is_first = jnp.logical_and(i == 0, k == 0)
+
+        vblock = v_ref[pl.ds(i0, KP)]  # [KP, LN] (rows >= k are garbage, masked)
+        wcand = jnp.where(rel_idx < k, vblock + sub[k].astype(jnp.float32), NEG)  # [KP, LN]
+        wmax = jnp.max(wcand, axis=0)  # [LN]
+
+        skip = v_ref[jnp.maximum(i_abs - 1, 0)] + noise_ref[k]
+        skip = jnp.where(is_first, NEG, skip)
+
+        m = jnp.maximum(jnp.maximum(far_m[k], wmax), skip)
+        total = (
+            far_s[k] * jnp.exp(far_m[k] - m)
+            + jnp.sum(jnp.where(rel_idx < k, jnp.exp(wcand - m[None]), 0.0), axis=0)
+            + jnp.exp(skip - m)
+        )
+        combined = m + jnp.log(total + 1e-38)
+        combined = jnp.where(is_first, 0.0, combined)
+
+        v_ref[i_abs] = combined + spdiag_ref[k]
+        v_out_ref[k] = combined + spdiag_ref[k]
+
+
+def alpha_table(score, noise) -> jax.Array:
+    """Full alpha table [T, N] via the blocked kernel; logZ = result[-1]."""
+    spdiag = jax.nn.softplus(jnp.einsum("iin->in", score).astype(jnp.float32))
+    t, _, nb = score.shape
+    # noise_shift[i] = noise[i-1]
+    noise_shift = jnp.pad(noise, ((1, 0), (0, 0)))
+    s_pad, _, sp_pad, t, nb, tp, nbp = _pad_inputs(score, noise, spdiag)
+    ns_pad = jnp.pad(noise_shift.astype(jnp.float32), ((0, tp - t), (0, nbp - nb)))
+
+    grid = (nbp // LN, tp // KP)
+    v = pl.pallas_call(
+        _alpha_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (KP, tp, LN), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((KP, LN), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KP, LN), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (KP, LN), lambda j, i: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, nbp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tp, LN), jnp.float32)],
+        **_call_kwargs(),
+    )(s_pad, ns_pad, sp_pad)
+    return v[:t, :nb]
+
+
+def _forward_backward(score, noise):
+    """(logZ, v, q) via one doubled-batch alpha kernel pass
+    (same flip trick as the scan implementation)."""
+    score_fb = jnp.concatenate([score, _scan._flip_score(score)], axis=-1)
+    noise_fb = jnp.concatenate([noise, noise[::-1]], axis=-1)
+    vq = alpha_table(score_fb, noise_fb)
+    v, q = jnp.split(vq, 2, axis=-1)
+    q = q[::-1]
+    return v[-1], v, q
+
+
+@jax.custom_vjp
+def log_z(score, noise):
+    """Pallas-backed logZ with exact-marginal VJP."""
+    logz, _, _ = _forward_backward(score, noise)
+    return logz
+
+
+def _log_z_fwd(score, noise):
+    logz, v, q = _forward_backward(score, noise)
+    return logz, (score, noise, v, q, logz)
+
+
+def _log_z_bwd(res, g):
+    score, noise, v, q, logz = res
+    grad, grad_noise = _scan._marginals(score, noise, v, q, logz)
+    return (
+        (grad * g[None, None, :]).astype(score.dtype),
+        (grad_noise * g[None, :]).astype(noise.dtype),
+    )
+
+
+log_z.defvjp(_log_z_fwd, _log_z_bwd)
