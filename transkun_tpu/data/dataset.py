@@ -235,9 +235,12 @@ def collate_fn_batching(batch):
 
 
 class BatchLoader:
-    """Minimal multi-epoch batch loader: shuffled shards of a map-style
-    iterator, optional rank sharding for data parallelism (replaces
-    torch DataLoader + DistributedSampler in the reference stack)."""
+    """Multi-epoch batch loader: shuffled shards of a map-style iterator,
+    optional rank sharding for data parallelism, and thread-pool sample
+    loading with batch prefetch (replaces torch DataLoader +
+    DistributedSampler + worker processes in the reference stack — wav
+    slicing/augmentation release the GIL in numpy/scipy, so threads give the
+    host-side parallelism of ``train.py:120-126`` without process forks)."""
 
     def __init__(
         self,
@@ -249,10 +252,14 @@ class BatchLoader:
         rank: int = 0,
         world_size: int = 1,
         drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
     ):
         self.data = data
         self.batch_size = batch_size
         self.collate = collate
+        self.num_workers = num_workers
+        self.prefetch = prefetch
         order = list(range(len(data)))
         if shuffle:
             random.Random(seed).shuffle(order)
@@ -264,7 +271,34 @@ class BatchLoader:
     def __len__(self):
         return len(self.order) // self.batch_size
 
+    def _batch_indices(self, i):
+        return self.order[i * self.batch_size : (i + 1) * self.batch_size]
+
     def __iter__(self):
-        for i in range(len(self)):
-            idxs = self.order[i * self.batch_size : (i + 1) * self.batch_size]
-            yield self.collate([self.data[j] for j in idxs])
+        if self.num_workers <= 0:
+            for i in range(len(self)):
+                yield self.collate([self.data[j] for j in self._batch_indices(i)])
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+
+            def load_batch(i):
+                # samples load sequentially within a batch; parallelism comes
+                # from `prefetch` batches in flight (avoids nested-pool
+                # deadlock when every worker waits on sample futures)
+                samples = [self.data[j] for j in self._batch_indices(i)]
+                return self.collate(samples)
+
+            pending = []
+            nxt = 0
+            while nxt < min(self.prefetch, len(self)):
+                pending.append(pool.submit(load_batch, nxt))
+                nxt += 1
+            for _ in range(len(self)):
+                batch = pending.pop(0).result()
+                if nxt < len(self):
+                    pending.append(pool.submit(load_batch, nxt))
+                    nxt += 1
+                yield batch

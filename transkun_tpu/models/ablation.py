@@ -120,10 +120,12 @@ class BiGRU(nn.Module):
         # x: [N, T, C] (batch-major; the reference runs time-major)
         h = x
         for layer in range(self.n_layers):
-            fwd = nn.RNN(nn.GRUCell(self.hidden_size), name=f"gru{layer}_fwd")(h)
+            # cells are named explicitly: RNN is a transparent wrapper, so
+            # cell params land directly in this module's scope
+            fwd = nn.RNN(nn.GRUCell(self.hidden_size, name=f"gru{layer}_fwd"))(h)
             bwd = nn.RNN(
-                nn.GRUCell(self.hidden_size), reverse=True, keep_order=True,
-                name=f"gru{layer}_bwd",
+                nn.GRUCell(self.hidden_size, name=f"gru{layer}_bwd"),
+                reverse=True, keep_order=True,
             )(h)
             h = jnp.concatenate([fwd, bwd], axis=-1)
             if layer < self.n_layers - 1:
@@ -308,7 +310,9 @@ class TransKunAblationModule(nn.Module):
         for layer in self.preLayers:
             h = layer(h, train=train)
         n, t = h.shape[0], h.shape[1]
-        h = h.reshape(n, t, -1)  # flatten (freq, channel)
+        # flatten (channel, freq) in that order (ref ``Model_ablation.py:239``
+        # flattens the NCHW layout's [C, F] trailing axes)
+        h = jnp.swapaxes(h, -1, -2).reshape(n, t, -1)
         ctx = self.inputProj(h)
         ctx = self.contextModel(ctx, deterministic)  # [N, T, ctxSize]
         s, s_skip = self.pairwiseScore(

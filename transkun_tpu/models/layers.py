@@ -233,31 +233,81 @@ class ScaledInnerProductIntervalScorer(nn.Module):
     length_scaling: str = "linear"
     score_dtype: Any = None  # e.g. jnp.bfloat16: halves the HBM cost of S
 
-    @nn.compact
-    def __call__(self, ctx: Array) -> Tuple[Array, Array]:
+    def setup(self):
+        self.map = nn.Dense(2 * self.size * self.expansion_factor + 1)
+
+    def _qkd(self, ctx: Array):
         e = self.size * self.expansion_factor
-        mapped = nn.Dense(2 * e + 1, name="map")(ctx)
+        mapped = self.map(ctx)
         q, k, diag = jnp.split(mapped, [e, 2 * e], axis=-1)
         q = q / math.sqrt(q.shape[-1])
         if self.score_dtype is not None:
             q = q.astype(self.score_dtype)
             k = k.astype(self.score_dtype)
             diag = diag.astype(self.score_dtype)
+        return q, k, diag
+
+    def _length_scale(self, s: Array, len_eb: Array) -> Array:
+        if self.length_scaling == "linear":
+            return s * len_eb
+        if self.length_scaling == "sqrt":
+            return s * jnp.sqrt(len_eb)
+        if self.length_scaling != "none":
+            raise ValueError(self.length_scaling)
+        return s
+
+    def __call__(self, ctx: Array) -> Tuple[Array, Array]:
+        q, k, diag = self._qkd(ctx)
         s = jnp.einsum(
             "iped,ipbd->ipeb", q, k,
             preferred_element_type=self.score_dtype or jnp.float32,
         )
         t = s.shape[-1]
         len_eb = jnp.abs(jnp.arange(t)[:, None] - jnp.arange(t)[None, :]).astype(s.dtype)
-        if self.length_scaling == "linear":
-            s = s * len_eb
-        elif self.length_scaling == "sqrt":
-            s = s * jnp.sqrt(len_eb)
-        elif self.length_scaling != "none":
-            raise ValueError(self.length_scaling)
+        s = self._length_scale(s, len_eb)
         # diag [N,P,T,1] broadcast against eye [T,T] -> diag_embed
         s = s + jnp.eye(t, dtype=s.dtype) * diag
         noise = jnp.zeros_like(diag[..., 1:, 0])
         s = jnp.transpose(s, (2, 3, 0, 1))  # [T_end, T_begin, N, P]
         noise = jnp.transpose(noise, (2, 0, 1))  # [T-1, N, P]
         return s, noise
+
+    def decode_scores(
+        self, ctx: Array, t_pad: int, p_pad: int
+    ) -> Tuple[Array, Array, Array]:
+        """Decode-layout scores: the transposed [begin, end, N*p_pad] tensor,
+        already padded and NEG-masked for the Pallas Viterbi kernel — the
+        mask fuses into the einsum epilogue, so the [T,T,NB] tensor is
+        written exactly once instead of einsum + permute + pad + transpose
+        passes (it dominates HBM traffic at ~100 GB/s).
+
+        Returns (s_t [t_pad, t_pad, N*p_pad], noise [t_pad, N*p_pad] zeros,
+        diag [t_pad, N*p_pad] f32, un-gated)."""
+        from ..ops.semicrf import NEG
+
+        q, k, diag = self._qkd(ctx)  # [N, P, T, E], diag [N, P, T, 1]
+        n, p, t, _ = q.shape
+        q = jnp.pad(q, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
+        s_t = jnp.einsum(
+            "ipbd,iped->beip", k, q,
+            preferred_element_type=self.score_dtype or jnp.float32,
+        )  # [begin, end, N, Pp]
+        idx = jnp.arange(t_pad)
+        len_eb = jnp.abs(idx[:, None] - idx[None, :]).astype(s_t.dtype)
+        s_t = self._length_scale(s_t, len_eb[:, :, None, None])
+        diag_pad = jnp.pad(
+            diag[..., 0], ((0, 0), (0, p_pad - p), (0, t_pad - t))
+        )  # [N, Pp, Tp]
+        diag_t = jnp.transpose(diag_pad, (2, 0, 1))  # [Tp, N, Pp]
+        eye = jnp.eye(t_pad, dtype=bool)
+        s_t = jnp.where(
+            eye[:, :, None, None], s_t + diag_t[None].astype(s_t.dtype), s_t
+        )
+        valid = (idx[:, None] < t) & (idx[None, :] < t)
+        track_valid = jnp.arange(p_pad)[None, None, None, :] < p
+        s_t = jnp.where(valid[:, :, None, None] & track_valid, s_t, NEG)
+        nb = n * p_pad
+        s_t = s_t.reshape(t_pad, t_pad, nb)
+        noise = jnp.zeros((t_pad, nb), jnp.float32)
+        return s_t, noise, diag_t.reshape(t_pad, nb).astype(jnp.float32)

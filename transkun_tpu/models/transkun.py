@@ -169,6 +169,20 @@ class TransKunModule(nn.Module):
         of_value, of_presence = jnp.split(of, 2, axis=-1)
         return vel, of_value, of_presence
 
+    def process_frames_decode(
+        self, frames: Array, t_pad: int, p_pad: int, deterministic: bool = True
+    ) -> Tuple[Array, Array, Array, Array]:
+        """Decode-layout forward: (s_t [t_pad,t_pad,N*p_pad] transposed +
+        NEG-padded for the Pallas Viterbi kernel, noise [t_pad, N*p_pad],
+        diag [t_pad, N*p_pad] un-gated f32, ctx [N,P,T,D]).  Writes the score
+        tensor exactly once (see ``ScaledInnerProductIntervalScorer.
+        decode_scores``)."""
+        features = self.frontend(frames)
+        pitches = jnp.asarray(target_midi_pitches(), jnp.float32)
+        ctx = self.backbone(features, pitches, deterministic)
+        s_t, noise, diag = self.scorer.decode_scores(ctx, t_pad, p_pad)
+        return s_t, noise, diag, ctx
+
     def boundary_offset_presence(self, ctx: Array, n_edge: int) -> Array:
         """Offset-presence bits for every interval ending in the last
         ``n_edge`` frames: [N, P, T, n_edge] bool, entry (b, j) = presence of
@@ -599,15 +613,53 @@ class TransKun:
         if key not in self._decode_fn:
             hop, win = self.hopSize, self.windowSize
             module = self.module
+            n_sym = len(self.targetMIDIPitch)
 
             @jax.jit
             def fn(params, seg_audio):  # [B, C, S]
                 frames = frontend.make_frame(seg_audio, hop, win)
-                s, noise, ctx = module.apply(
-                    params, frames, True, method=TransKunModule.process_frames
+                n = frames.shape[0]
+                t = frontend.num_frames(seg_audio.shape[-1], hop)
+                t_pad = -(-t // 8) * 8
+                # pad the track axis so lanes (N * p_pad) hit a 128 multiple
+                p_pad = n_sym
+                while (n * p_pad) % 128:
+                    p_pad += 1
+                s_t, noise, diag_raw, ctx = module.apply(
+                    params, frames, t_pad, p_pad, True,
+                    method=TransKunModule.process_frames_decode,
                 )
-                ptr, diag = semicrf.viterbi_backward_tables_best(s, noise)
-                n_edge = ctx.shape[2] - last_frame_idx
+                if semicrf._use_pallas():
+                    from ..ops import semicrf_pallas
+
+                    ptr_pad = semicrf_pallas.viterbi_backward_tables_padded(
+                        s_t, noise, diag_raw * (diag_raw > 0)
+                    )
+                else:
+                    # test/CPU fallback: reconstruct the standard layout
+                    s_std = jnp.swapaxes(s_t, 0, 1)[:t, :t].reshape(
+                        t, t, n, p_pad
+                    )[..., :n_sym].reshape(t, t, n * n_sym).astype(jnp.float32)
+                    noise_std = jnp.zeros((t - 1, n * n_sym), jnp.float32)
+                    ptr_std, _ = semicrf.viterbi_backward_tables(s_std, noise_std)
+                    ptr_pad = jnp.zeros((t_pad, n * p_pad), jnp.int32)
+                    ptr_pad = ptr_pad.at[: t - 1].set(
+                        jnp.pad(
+                            ptr_std.reshape(t - 1, n, n_sym),
+                            ((0, 0), (0, 0), (0, p_pad - n_sym)),
+                        ).reshape(t - 1, n * p_pad)
+                    )
+                ptr = (
+                    ptr_pad[: t - 1]
+                    .reshape(t - 1, n, p_pad)[:, :, :n_sym]
+                    .reshape(t - 1, n * n_sym)
+                )
+                diag = (
+                    (diag_raw > 0)[:t]
+                    .reshape(t, n, p_pad)[:, :, :n_sym]
+                    .reshape(t, n * n_sym)
+                )
+                n_edge = t - last_frame_idx
                 bpres = module.apply(
                     params, ctx, n_edge,
                     method=TransKunModule.boundary_offset_presence,

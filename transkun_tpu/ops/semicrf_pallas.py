@@ -133,6 +133,46 @@ def _pad_inputs(score, noise, extra):
     return score, noise, extra, t, nb, tp, nbp
 
 
+def viterbi_backward_tables_padded(
+    s_t_pad: jax.Array, noise_pad: jax.Array, diag_gate_pad: jax.Array
+) -> jax.Array:
+    """Viterbi pointer tables from pre-padded, pre-transposed inputs.
+
+    s_t_pad: [Tp, Tp, NBp] in [begin, end, lane] layout, padded with NEG
+    (producers can fuse the padding mask into the score computation so the
+    tensor is written exactly once); noise_pad [Tp, NBp] (rows >= T-1 zero);
+    diag_gate_pad [Tp, NBp] f32 (already gated).  Returns ptr [Tp, NBp].
+    """
+    tp, _, nbp = s_t_pad.shape
+    assert tp % KP == 0 and nbp % LN == 0, (tp, nbp)
+    grid = (nbp // LN, tp // KP)
+    n_steps = tp // KP
+    return pl.pallas_call(
+        _viterbi_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (KP, tp, LN), lambda j, i: (n_steps - 1 - i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (KP, LN), lambda j, i: (n_steps - 1 - i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (KP, LN), lambda j, i: (n_steps - 1 - i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (KP, LN), lambda j, i: (n_steps - 1 - i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((tp, nbp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tp, LN), jnp.float32)],
+        **_call_kwargs(),
+    )(s_t_pad, noise_pad, diag_gate_pad)
+
+
 def viterbi_backward_tables(score, noise) -> Tuple[jax.Array, jax.Array]:
     """Pallas drop-in for ``semicrf.viterbi_backward_tables``."""
     diag = jnp.einsum("iin->in", score).astype(jnp.float32)

@@ -137,6 +137,111 @@ def convert_state_dict(sd: Dict[str, Any], conf) -> Dict[str, Any]:
     return {"params": params}
 
 
+def _gru_cell(sd, prefix, suffix):
+    """torch GRU layer params -> flax GRUCell dict.  torch gate order is
+    (r, z, n); torch keeps two redundant biases for r/z which flax merges."""
+    w_ih = np.asarray(sd[f"{prefix}.weight_ih_{suffix}"])  # [3H, in]
+    w_hh = np.asarray(sd[f"{prefix}.weight_hh_{suffix}"])  # [3H, H]
+    b_ih = np.asarray(sd[f"{prefix}.bias_ih_{suffix}"])
+    b_hh = np.asarray(sd[f"{prefix}.bias_hh_{suffix}"])
+    h = w_hh.shape[1]
+    wir, wiz, win = w_ih[:h], w_ih[h : 2 * h], w_ih[2 * h :]
+    whr, whz, whn = w_hh[:h], w_hh[h : 2 * h], w_hh[2 * h :]
+    bir, biz, bin_ = b_ih[:h], b_ih[h : 2 * h], b_ih[2 * h :]
+    bhr, bhz, bhn = b_hh[:h], b_hh[h : 2 * h], b_hh[2 * h :]
+    return {
+        "ir": {"kernel": np.ascontiguousarray(wir.T), "bias": bir + bhr},
+        "iz": {"kernel": np.ascontiguousarray(wiz.T), "bias": biz + bhz},
+        "in": {"kernel": np.ascontiguousarray(win.T), "bias": bin_},
+        "hr": {"kernel": np.ascontiguousarray(whr.T)},
+        "hz": {"kernel": np.ascontiguousarray(whz.T)},
+        "hn": {"kernel": np.ascontiguousarray(whn.T), "bias": bhn},
+    }
+
+
+def _batchnorm(sd, prefix):
+    params = {
+        "scale": np.asarray(sd[prefix + ".weight"]),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+    stats = {
+        "mean": np.asarray(sd[prefix + ".running_mean"]),
+        "var": np.asarray(sd[prefix + ".running_var"]),
+    }
+    return params, stats
+
+
+def _mlp3(sd, prefix):
+    return {
+        "lin1": _linear(sd, prefix + ".0"),
+        "lin2": _linear(sd, prefix + ".3"),
+        "lin3": _linear(sd, prefix + ".6"),
+    }
+
+
+def convert_state_dict_ablation(sd: Dict[str, Any], conf) -> Dict[str, Any]:
+    """torch V1 (Model_ablation) state_dict -> flax variables
+    ({'params': ..., 'batch_stats': ...})."""
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in sd.items()}
+    params: Dict[str, Any] = {
+        "frontend": {
+            "win_sigma": sd[
+                "framewiseFeatureExtractor.spectrogramExtractor.winGen.sigma"
+            ],
+            "win_center": sd[
+                "framewiseFeatureExtractor.spectrogramExtractor.winGen.center"
+            ],
+        },
+        "inputProj": _linear(sd, "inputProj.0"),
+        "pitchEmbedding": {"embedding": sd["pitchEmbedding.weight"]},
+        "velocityPredictor": _mlp3(sd, "velocityPredictor"),
+        "refinedOFPredictor": _mlp3(sd, "refinedOFPredictor"),
+    }
+    batch_stats: Dict[str, Any] = {}
+
+    # conv pre-layers with BatchNorm running stats
+    i = 0
+    while f"preLayer.layers.{i}.conv1.weight" in sd:
+        base = f"preLayer.layers.{i}"
+        block_p: Dict[str, Any] = {
+            "conv1": _conv2d(sd, base + ".conv1"),
+            "conv2": _conv2d(sd, base + ".conv2"),
+        }
+        block_s: Dict[str, Any] = {}
+        for bn in ("bn1", "bn2"):
+            p, s = _batchnorm(sd, f"{base}.{bn}")
+            block_p[bn] = p
+            block_s[bn] = s
+        params[f"preLayer_{i}"] = block_p
+        batch_stats[f"preLayer_{i}"] = block_s
+        i += 1
+
+    # bidirectional GRU stack + out projection
+    ctx: Dict[str, Any] = {"outProj": _linear(sd, "contextModel.outProj")}
+    layer = 0
+    while f"contextModel.grus.weight_ih_l{layer}" in sd:
+        ctx[f"gru{layer}_fwd"] = _gru_cell(sd, "contextModel.grus", f"l{layer}")
+        ctx[f"gru{layer}_bwd"] = _gru_cell(
+            sd, "contextModel.grus", f"l{layer}_reverse"
+        )
+        layer += 1
+    params["contextModel"] = ctx
+
+    # pairwise scorer
+    pw: Dict[str, Any] = {}
+    for name, tname in [("scoreMap", "scoreMap"), ("scoreMapSkip", "scoreMapSkip")]:
+        for j, idx in enumerate((0, 3, 6)):
+            pw[f"{name}_{j}"] = _linear(sd, f"pairwiseScore.{tname}.{idx}")
+    if "pairwiseScore.post.map.0.weight" in sd:
+        pw["post"] = {
+            "conv1": _conv2d(sd, "pairwiseScore.post.map.0"),
+            "conv2": _conv2d(sd, "pairwiseScore.post.map.3"),
+        }
+    params["pairwiseScore"] = pw
+
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_torch_checkpoint(path: str, conf, prefer_best: bool = True):
     """Load a reference ``.pt`` checkpoint file into flax params
     (ref ``transcribe.py:49-62``: ``best_state_dict`` preferred, tolerant)."""
