@@ -1,0 +1,136 @@
+"""Dataset/loader/augmentation/checkpoint tests."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from transkun_tpu.data import dataset as D
+from transkun_tpu.data.midi import write_midi
+from transkun_tpu.data.note import Note
+
+FS = 4000
+
+
+@pytest.fixture(scope="module")
+def pickle_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(3):
+        dur = 4.0
+        notes = [Note(0.2 + 0.5 * k, 0.5 + 0.5 * k, 60 + k, 80) for k in range(6)]
+        wav = f"p{i}.wav"
+        x = (rng.normal(size=(int(dur * FS), 2)) * 3000).astype(np.int16)
+        wavfile.write(str(root / wav), FS, x)
+        samples.append(
+            {
+                "audio_filename": wav,
+                "duration": dur,
+                "notes": notes,
+                "fs": FS,
+                "nSamples": int(dur * FS),
+                "nChannel": 2,
+            }
+        )
+    pkl = root / "train.pickle"
+    with open(pkl, "wb") as f:
+        pickle.dump(samples, f)
+    return str(root), str(pkl)
+
+
+def test_dataset_fetch_and_boundary_flags(pickle_dataset):
+    root, pkl = pickle_dataset
+    ds = D.DatasetMaestro(root, pkl)
+    notes, audio, fs = ds.fetch_data(0, 0.3, 1.4, True, notes_strictly_contained=False)
+    assert fs == FS
+    assert audio.shape == (int(1.1 * FS), 2)
+    assert audio.dtype == np.float32
+    # note [0.2, 0.5] is trimmed at the left boundary -> hasOnset False
+    first = min(notes, key=lambda n: n.start)
+    assert not first.hasOnset and first.hasOffset
+    # note [0.7, 1.0] fully inside
+    inside = [n for n in notes if n.hasOnset and n.hasOffset]
+    assert len(inside) >= 1
+    # strict mode drops boundary notes
+    notes_strict, _, _ = ds.fetch_data(0, 0.3, 1.4, True, notes_strictly_contained=True)
+    assert all(n.hasOnset and n.hasOffset for n in notes_strict)
+    assert len(notes_strict) < len(notes)
+
+
+def test_iterator_deterministic_and_loader(pickle_dataset):
+    root, pkl = pickle_dataset
+    ds = D.DatasetMaestro(root, pkl)
+    it1 = D.DatasetMaestroIterator(ds, 1.0, 2.0, seed=7, notes_strictly_contained=False)
+    it2 = D.DatasetMaestroIterator(ds, 1.0, 2.0, seed=7, notes_strictly_contained=False)
+    assert it1.chunksAll == it2.chunksAll
+    it3 = D.DatasetMaestroIterator(ds, 1.0, 2.0, seed=8, notes_strictly_contained=False)
+    assert it1.chunksAll != it3.chunksAll
+
+    loader = D.BatchLoader(it1, batch_size=2, shuffle=True, seed=0, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(it1) // 2
+    for b in batches[:3]:
+        assert b["audioSlices"].shape[0] == 2
+        assert abs(b["audioSlices"].shape[1] - 2 * FS) < 2
+
+    # rank sharding partitions the order
+    l0 = D.BatchLoader(it1, 2, shuffle=True, seed=0, rank=0, world_size=2)
+    l1 = D.BatchLoader(it1, 2, shuffle=True, seed=0, rank=1, world_size=2)
+    assert set(l0.order).isdisjoint(set(l1.order))
+
+
+def test_augmentator_shapes(pickle_dataset):
+    from transkun_tpu.data.augment import Augmentator
+
+    import random
+
+    aug = Augmentator(sampleRate=FS, rng=random.Random(0))
+    x = np.random.default_rng(0).normal(size=(2 * FS, 2)).astype(np.float32) * 0.1
+    for _ in range(5):
+        y = aug(x)
+        assert y.shape == (2 * FS, 1)
+        assert y.dtype == np.float32
+        assert np.isfinite(y).all()
+
+
+def test_pitch_shift_moves_frequency():
+    from transkun_tpu.data.augment import pitch_shift
+
+    fs = 8000
+    t = np.arange(4 * fs) / fs
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = pitch_shift(x, 2.0, fs)  # +2 semitones -> 493.9 Hz
+    assert len(y) == len(x)
+    spec = np.abs(np.fft.rfft(y[fs:3 * fs] * np.hanning(2 * fs)))
+    freq = np.fft.rfftfreq(2 * fs, 1 / fs)
+    peak = freq[np.argmax(spec)]
+    assert abs(peak - 440 * 2 ** (2 / 12)) < 8, peak
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from transkun_tpu.models import ModelConfig, TransKun
+    from transkun_tpu.train import init_train_state, make_optimizer
+    from transkun_tpu.train.checkpoint import load_checkpoint, load_params, save_checkpoint
+
+    conf = ModelConfig.from_dict(
+        dict(f_min=30, f_max=1900, n_mels=32, hopSize=64, windowSize=256, fs=4000,
+             nExtraWins=2, baseSize=8, nHead=2, nLayers=1, scoringExpansionFactor=2)
+    )
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=33)
+    opt = make_optimizer(params["params"])
+    state = init_train_state(params, opt)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, best_params=params, extra={"epoch": 3})
+    ckpt = load_checkpoint(path)
+    assert int(ckpt["step"]) == 0
+    assert ckpt["extra"]["epoch"] == 3
+    restored = load_params(path, conf)
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(restored)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -69,10 +69,10 @@ def pitch_shift(x: np.ndarray, semitones: float, fs: int) -> np.ndarray:
     from scipy.signal import resample_poly
 
     factor = 2.0 ** (semitones / 12.0)
-    stretched = time_stretch(x, 1.0 / factor)
-    # resample by 1/factor to restore duration and move pitch
-    up, down = max(1, int(round(10000 / factor))), 10000
-    y = resample_poly(stretched, down, up).astype(np.float32)
+    stretched = time_stretch(x, 1.0 / factor)  # longer by `factor`
+    # compress back to the original duration -> frequencies scale by `factor`
+    up, down = 10000, max(1, int(round(10000 * factor)))
+    y = resample_poly(stretched, up, down).astype(np.float32)
     if len(y) >= len(x):
         return y[: len(x)]
     return np.pad(y, (0, len(x) - len(y)))
