@@ -92,6 +92,31 @@ def peaking_eq(x: np.ndarray, fs: int, f0: float, gain_db: float, q: float = 1.0
     return lfilter(b, den, x).astype(np.float32)
 
 
+class AugmentatorPitchShiftOnly:
+    """Pitch-shift-only augmentation (ref ``AugmentatorPitchShiftOnly``,
+    ``Data.py:616-650``): uniform shift in ``pitchShiftRange`` semitones,
+    bypassed with probability ``byPassProb``."""
+
+    def __init__(
+        self,
+        sampleRate: int,
+        pitchShiftRange=(-0.30, 0.30),
+        byPassProb: float = 0.1,
+        rng: Optional[random.Random] = None,
+    ):
+        self.fs = sampleRate
+        self.pitchShiftRange = pitchShiftRange
+        self.byPassProb = byPassProb
+        self.rng = rng or random.Random()
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        if self.rng.random() < self.byPassProb:
+            return x
+        shift = self.rng.uniform(*self.pitchShiftRange)
+        channels = [pitch_shift(x[:, c], shift, self.fs) for c in range(x.shape[1])]
+        return np.stack(channels, axis=1)
+
+
 class Augmentator:
     """The audiomentations-equivalent augmentation chain; input/output
     float32 [nSample, nChannel]."""

@@ -218,6 +218,31 @@ class DatasetMaestroIterator:
         return {"notes": notes, "audioSlice": audio, "fs": fs, "begin": begin}
 
 
+def sample_slice(
+    dataset: DatasetMaestro,
+    duration_in_second: float,
+    audio_normalize: bool = True,
+    notes_strictly_contained: bool = True,
+):
+    """Sample one random duration-weighted chunk (ref ``sampleSlice``,
+    ``Data.py:577-595``)."""
+    idx = random.choices(range(len(dataset.durations)), dataset.durations)[0]
+    dur = dataset.durations[idx]
+    if dur < duration_in_second:
+        begin, end = 0.0, dur
+    else:
+        begin = random.random() * (dur - duration_in_second)
+        end = begin + duration_in_second
+    return dataset.fetch_data(
+        idx, begin, end, audio_normalize, notes_strictly_contained
+    )
+
+
+def midi_to_key_number(midi_number: int) -> int:
+    """Piano MIDI range [21, 108] -> key index [0, 87] (ref ``Data.py:972-975``)."""
+    return midi_number - 21
+
+
 def collate_fn(batch):
     return batch
 
@@ -232,6 +257,24 @@ def collate_fn_batching(batch):
     assert n_max - n_min < 2
     audio = np.stack([a[:n_min] for a in slices], axis=0)
     return {"notes": notes_batch, "audioSlices": audio}
+
+
+def collate_fn_randomized_len(batch):
+    """Randomly right-crop the batch to a shared fraction of its length and
+    drop notes beyond the crop (ref ``collate_fn_randmized_len``,
+    ``Data.py:950-968``)."""
+    r = random.random() * 0.5 + 0.5
+    out = []
+    for sample in batch:
+        fs = sample["fs"]
+        n = sample["audioSlice"].shape[0]
+        keep = math.ceil(n * r)
+        sample = dict(sample)
+        sample["audioSlice"] = sample["audioSlice"][:keep, :]
+        t = keep / fs
+        sample["notes"] = [m for m in sample["notes"] if m.end < t]
+        out.append(sample)
+    return out
 
 
 class BatchLoader:

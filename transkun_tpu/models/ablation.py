@@ -528,6 +528,53 @@ class TransKunAblation:
             notes[i].sort(key=lambda x: (x.start, x.end, x.pitch))
         return notes, last_p
 
+    def compute_stats_mireval(self, params, audio_batch, notes_batch):
+        """Note+offset counts via full decode (ref ``Model_ablation.py:366-412``)."""
+        from ..eval.evaluation import compare_transcription
+
+        x = jnp.swapaxes(jnp.asarray(audio_batch), -1, -2)
+        frames = frontend.make_frame(x, self.hopSize, self.windowSize)
+        notes_est, _ = self.transcribe_frames(params, frames)
+        n_gt = n_est = n_correct = 0.0
+        for est, gt in zip(notes_est, notes_batch):
+            metrics = compare_transcription(est, gt)
+            _, r, _, _ = metrics["note+offset"]
+            n_gt += metrics["nGT"]
+            n_est += metrics["nEst"]
+            n_correct += r * metrics["nGT"]
+        return {"nGT": n_gt, "nEst": n_est, "nCorrect": n_correct}
+
+    def compute_stats(self, params, audio_batch, notes_batch):
+        """Decode-vs-GT bracket and framewise counts (ref
+        ``Model_ablation.py:420-...``, same structure as V2 minus the
+        presence terms)."""
+        from ..data.labels import prepare_intervals
+        from ..eval.evaluation import compare_bracket, compare_framewise
+        from ..ops import semicrf
+
+        x = jnp.swapaxes(jnp.asarray(audio_batch), -1, -2)
+        frames = frontend.make_frame(x, self.hopSize, self.windowSize)
+        ptr, diag, _ = self._fns["decode"](params, frames)
+        path = semicrf.backtrack_backward(np.asarray(ptr), np.asarray(diag))
+        flat_gt = []
+        for notes in notes_batch:
+            data = prepare_intervals(
+                notes, self.hopSize / self.fs, self.targetMIDIPitch
+            )
+            flat_gt.extend(data["intervals"])
+        stats = [compare_bracket(a, b) for a, b in zip(path, flat_gt)]
+        fw = [compare_framewise(a, b) for a, b in zip(path, flat_gt)]
+        return {
+            "nGT": sum(s[0] for s in stats),
+            "nEst": sum(s[1] for s in stats),
+            "nCorrect": sum(s[2] for s in stats),
+            "nGTFramewise": sum(s[0] for s in fw),
+            "nEstFramewise": sum(s[1] for s in fw),
+            "nCorrectFramewise": sum(s[2] for s in fw),
+            "seVelocityForced": 0.0,
+            "seOFForced": 0.0,
+        }
+
     def transcribe(self, params, x, step_in_second: float = 10,
                    segment_size_in_second: float = 20,
                    discard_second_half: bool = False):

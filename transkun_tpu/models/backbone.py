@@ -12,7 +12,7 @@ upsample back to frame rate.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -29,6 +29,7 @@ class DownConv(nn.Module):
     base_size: int
     dropout: float
     downsample_f: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h: Array, deterministic: bool) -> Array:
@@ -43,11 +44,11 @@ class DownConv(nn.Module):
         chans = [2 * b, 4 * b, 4 * b]
         drop = nn.Dropout(self.dropout, broadcast_dims=(1, 2))
         for i, (c, s) in enumerate(zip(chans, strides)):
-            h = nn.Conv(c, (3, 3), strides=s, padding=((1, 1), (1, 1)), name=f"conv{i}")(h)
+            h = nn.Conv(c, (3, 3), strides=s, padding=((1, 1), (1, 1)), dtype=self.dtype, name=f"conv{i}")(h)
             h = nn.GroupNorm(num_groups=4, name=f"norm{i}")(h)
             h = nn.gelu(h, approximate=False)
             h = drop(h, deterministic=deterministic)
-        h = nn.Conv(4 * b, (3, 3), padding=((1, 1), (1, 1)), name="conv3")(h)
+        h = nn.Conv(4 * b, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv3")(h)
         h = nn.GroupNorm(num_groups=4, name="norm3")(h)
         return h
 
@@ -66,6 +67,7 @@ class Backbone(nn.Module):
     use_gradient_checkpoint: bool = True
     downsample_f: bool = True
     upsample_proj_only: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -80,10 +82,10 @@ class Backbone(nn.Module):
             b, 1, self.pos_embed_init_gamma, self.dropout, name="posEmbedBuilder"
         )(jnp.arange(n_f, dtype=jnp.float32)[:, None], deterministic)  # [F, b]
 
-        h = nn.Conv(b, (3, 3), padding=((1, 1), (1, 1)), name="inputConv")(x)
+        h = nn.Conv(b, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="inputConv")(x)
         h = h + pos_f  # broadcast over N, T
-        h = DownConv(b, self.dropout, self.downsample_f, name="downConv")(
-            h, deterministic
+        h = DownConv(b, self.dropout, self.downsample_f, dtype=self.dtype, name="downConv")(
+            h.astype(self.dtype or h.dtype), deterministic
         )  # [N, T', F', 4b]
 
         # prepend one aggregation step (time) and one aggregation track (freq)
@@ -116,6 +118,7 @@ class Backbone(nn.Module):
                 hidden_factor_attn=self.hidden_factor_attn,
                 enabled=self.enabled_attn,
                 dropout=self.dropout,
+                dtype=self.dtype,
                 name=f"encoderLayers_{i}",
             )(h_all, deterministic)
 
@@ -128,11 +131,11 @@ class Backbone(nn.Module):
         # 8 per-patch outputs followed by a reshape — one MXU matmul.
         ht = jnp.swapaxes(h_target, 1, 2).reshape(n * p, tp - 1, d)  # [N*P, T'', 4b]
         out_d = b * self.expansion_factor
-        up = nn.Dense(8 * out_d, name="upConv1dSkip")(ht)
+        up = nn.Dense(8 * out_d, dtype=self.dtype, name="upConv1dSkip")(ht)
         up = up.reshape(n * p, (tp - 1) * 8, out_d)
         if not self.upsample_proj_only:
             raise NotImplementedError(
                 "full upConv1d path unused by the V2 config (upsampleProjOnly=True)"
             )
         up = up[:, :n_t]  # crop to original frame count
-        return up.reshape(n, p, n_t, out_d)
+        return up.reshape(n, p, n_t, out_d).astype(jnp.float32)

@@ -19,9 +19,11 @@ Array = jax.Array
 
 
 def rms_norm(x: Array, eps: float = 1e-6) -> Array:
-    """Scale-free RMSNorm (ref ``LayersTransformer.py:12-19`` — no learned gain)."""
-    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-    return x * jax.lax.rsqrt(var + eps)
+    """Scale-free RMSNorm (ref ``LayersTransformer.py:12-19`` — no learned gain).
+    Statistics in fp32 regardless of input dtype."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class TiedDropout(nn.Module):
@@ -85,6 +87,7 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     hidden_factor: float = 1.0
+    dtype: Any = None  # computation dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, query: Array, key: Optional[Array] = None) -> Array:
@@ -96,7 +99,7 @@ class MultiHeadAttention(nn.Module):
 
         dense = lambda name: nn.Dense(
             hidden, use_bias=False, kernel_init=nn.initializers.xavier_uniform(),
-            name=name,
+            dtype=self.dtype, name=name,
         )
         q = dense("q_proj")(query)
         k = dense("k_proj")(key)
@@ -112,7 +115,7 @@ class MultiHeadAttention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("...qk,...kd->...qd", attn, v)
         out = jnp.swapaxes(out, -2, -3).reshape(*query.shape[:-1], hidden)
-        return nn.Dense(self.embed_dim, name="out_proj")(out)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
 
 
 def _layer_scale_init(key, shape):
@@ -127,15 +130,17 @@ class AttnResBlock(nn.Module):
     num_heads: int
     hidden_factor_attn: float
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mem, deterministic: bool):
         scale = self.param("scale", _layer_scale_init, (self.size,))
         h = MultiHeadAttention(
-            self.size, self.num_heads, self.hidden_factor_attn, name="mha"
-        )(rms_norm(x), mem)
+            self.size, self.num_heads, self.hidden_factor_attn, dtype=self.dtype,
+            name="mha",
+        )(rms_norm(x).astype(self.dtype or x.dtype), mem)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return x + h * scale
+        return x + (h * scale).astype(x.dtype)
 
 
 class FFNResBlock(nn.Module):
@@ -144,17 +149,18 @@ class FFNResBlock(nn.Module):
     size: int
     hidden_factor: float
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         scale = self.param("scale", _layer_scale_init, (self.size,))
         hidden = int(math.ceil(self.size * self.hidden_factor))
-        h = nn.Dense(hidden, name="lin1")(rms_norm(x))
+        h = nn.Dense(hidden, dtype=self.dtype, name="lin1")(rms_norm(x).astype(self.dtype or x.dtype))
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.size, name="lin2")(h)
+        h = nn.Dense(self.size, dtype=self.dtype, name="lin2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return x + h * scale
+        return x + (h * scale).astype(x.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -172,6 +178,7 @@ class BasicBlock(nn.Module):
     hidden_factor_attn: float = 1.0
     enabled: Tuple[str, ...] = ("F", "T", "All0", "0All")
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -182,9 +189,11 @@ class BasicBlock(nn.Module):
             num_heads=self.num_heads,
             hidden_factor_attn=self.hidden_factor_attn,
             dropout=self.dropout,
+            dtype=self.dtype,
         )
         ffn_kw = dict(
-            size=self.size, hidden_factor=self.hidden_factor, dropout=self.dropout
+            size=self.size, hidden_factor=self.hidden_factor, dropout=self.dropout,
+            dtype=self.dtype,
         )
 
         if "F" in self.enabled:

@@ -123,6 +123,7 @@ class TransKunModule(nn.Module):
             n_layers=conf.nLayers,
             enabled_attn=tuple(conf.enabledAttn),
             downsample_f=conf.downsampleF,
+            dtype=self.compute_dtype,
         )
         if not conf.useInnerProductScorer:
             raise NotImplementedError(
