@@ -39,6 +39,8 @@ def main(argv=None):
     parser.add_argument("--maxEvents", default=32, type=int,
                         help="per-track padded event capacity per chunk")
     parser.add_argument("--nDevices", default=None, type=int)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 activations (params stay fp32)")
     parser.add_argument("--statsEvery", default=40, type=int)
     parser.add_argument("--ckptEvery", default=2000, type=int)
     args = parser.parse_args(argv)
@@ -63,7 +65,9 @@ def main(argv=None):
     from ..train.validate import do_validation
 
     module_mod, conf = parse_conf_file(args.modelConf)
-    model = module_mod.TransKun(conf)
+    model = module_mod.TransKun(
+        conf, compute_dtype=jnp.bfloat16 if args.bf16 else None
+    )
 
     run_seed = int(time.time())
     n_dev = args.nDevices or jax.local_device_count()

@@ -479,25 +479,6 @@ class TransKun:
             self._attr_fn = fn
         return self._attr_fn
 
-    @staticmethod
-    def _velocity_readout(p_velocity: np.ndarray, criterion: str) -> np.ndarray:
-        """Velocity read-out criteria (ref ``ModelTransformer.py:590-632``)."""
-        w = np.arange(128)
-        if criterion == "mse":
-            return (p_velocity * w).sum(-1)
-        if criterion == "match":
-            tolerance = 0.1 * 128
-            utility = (np.abs(w[:, None] - w[None, :]) < tolerance).astype(np.float64)
-            return np.argmax(p_velocity @ utility, axis=-1)
-        if criterion == "hamming":
-            return np.argmax(p_velocity, axis=-1)
-        if criterion == "mae":
-            pcum = np.cumsum(p_velocity, axis=-1)
-            tmp = (pcum - 0.5) > 0
-            w2 = np.arange(128, 0.0, -1)
-            return np.argmax(tmp * w2, axis=-1)
-        raise ValueError(f"Unrecognized criterion: {criterion}")
-
     def transcribe_frames(
         self,
         params,

@@ -230,6 +230,24 @@ def eval_path_padded(
     return jnp.sum(contrib, axis=1) + ncum[-1]
 
 
+def eval_path_slow(
+    intervals: Sequence[Sequence[Tuple[int, int]]], score: Array, noise: Array
+) -> Array:
+    """Naive per-interval path scoring (ref ``evalPathSlow``, ``:478-502``) —
+    a readable oracle for ``eval_path_padded``."""
+    ncum = jnp.concatenate(
+        [jnp.zeros((1, noise.shape[1]), noise.dtype), jnp.cumsum(noise, axis=0)],
+        axis=0,
+    )
+    out = []
+    for idx, cur in enumerate(intervals):
+        v = ncum[-1, idx]
+        for b, e in cur:
+            v = v + score[e, b, idx] - ncum[e, idx] + ncum[b, idx]
+        out.append(v)
+    return jnp.stack(out, axis=-1)
+
+
 def pad_intervals(
     intervals: Sequence[Sequence[Tuple[int, int]]], k: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -43,6 +43,27 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return ckptr.restore(path)
 
 
+def merge_params_tolerant(target, source):
+    """Overwrite leaves of ``target`` with same-path, same-shape leaves from
+    ``source`` (the reference's tolerant partial restore,
+    ``TrainUtil.py:58-66``)."""
+    import jax
+
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(target)[0])
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(source)[0])
+    merged = {
+        path: (
+            flat_s[path]
+            if path in flat_s and np.shape(flat_s[path]) == np.shape(leaf)
+            else leaf
+        )
+        for path, leaf in flat_t.items()
+    }
+    treedef = jax.tree_util.tree_structure(target)
+    order = jax.tree_util.tree_flatten_with_path(target)[0]
+    return jax.tree_util.tree_unflatten(treedef, [merged[p] for p, _ in order])
+
+
 def load_params(path: str, conf, prefer_best: bool = True):
     """Load model params from either an orbax directory or a reference torch
     ``.pt`` file (ref ``transcribe.py:49-62`` semantics: best preferred)."""
