@@ -14,8 +14,12 @@ import os
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Transcribe audio to MIDI")
-    parser.add_argument("audioPath", help="path to the input audio file")
-    parser.add_argument("outPath", help="path to the output MIDI file")
+    parser.add_argument(
+        "audioPath",
+        help="input audio file, or a directory (every contained audio file "
+        "is transcribed, mirroring the tree into outPath)",
+    )
+    parser.add_argument("outPath", help="output MIDI file or directory")
     parser.add_argument("--weight", default=None, help="checkpoint (orbax dir or torch .pt)")
     parser.add_argument("--conf", default=None, help="model conf JSON")
     parser.add_argument(
@@ -57,19 +61,42 @@ def main(argv=None):
         print("warning: no --weight given, using random initialization")
         params = model.init(jax.random.PRNGKey(0))
 
-    fs, audio = read_audio(args.audioPath)
-    if fs != model.fs:
-        audio = resample(audio, fs, model.fs)
+    def transcribe_one(audio_path: str, out_path: str):
+        fs, audio = read_audio(audio_path)
+        if fs != model.fs:
+            audio = resample(audio, fs, model.fs)
+        notes = model.transcribe(
+            params,
+            audio,
+            step_in_second=args.segmentHopSize,
+            segment_size_in_second=args.segmentSize,
+            discard_second_half=False,
+        )
+        write_midi(notes, out_path)
+        print(f"wrote {len(notes)} events to {out_path}")
 
-    notes = model.transcribe(
-        params,
-        audio,
-        step_in_second=args.segmentHopSize,
-        segment_size_in_second=args.segmentSize,
-        discard_second_half=False,
-    )
-    write_midi(notes, args.outPath)
-    print(f"wrote {len(notes)} events to {args.outPath}")
+    if os.path.isdir(args.audioPath):
+        import pathlib
+        import time
+
+        root = pathlib.Path(args.audioPath)
+        files = sorted(
+            p for ext in ("*.wav", "*.mp3", "*.flac")
+            for p in root.rglob(ext)
+        )
+        print(f"{len(files)} audio files")
+        t0 = time.time()
+        total_audio = 0.0
+        for p in files:
+            out = pathlib.Path(args.outPath) / p.relative_to(root).with_suffix(".midi")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            fs, audio = read_audio(str(p))
+            total_audio += audio.shape[0] / fs
+            transcribe_one(str(p), str(out))
+        dt = time.time() - t0
+        print(f"RTF: {total_audio / max(dt, 1e-9):.1f}x ({total_audio:.0f}s audio in {dt:.0f}s)")
+    else:
+        transcribe_one(args.audioPath, args.outPath)
 
 
 if __name__ == "__main__":
