@@ -42,6 +42,8 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (params stay fp32)")
     parser.add_argument("--statsEvery", default=40, type=int)
+    parser.add_argument("--warmupCutoff", default=500, type=int,
+                        help="steps before the OneCycle schedule starts")
     parser.add_argument("--ckptEvery", default=2000, type=int)
     args = parser.parse_args(argv)
 
@@ -81,6 +83,7 @@ def main(argv=None):
         max_lr=args.max_lr,
         weight_decay=args.weight_decay,
         n_iter=args.nIter,
+        warmup_cutoff=args.warmupCutoff,
     )
     step_fn = make_train_step(
         model.module, optimizer, mesh=mesh, clip_quantile=args.gradClippingQuantile
@@ -220,7 +223,8 @@ def main(argv=None):
             seed=run_seed + epoch * 100,
         )
         val_loader = D.BatchLoader(
-            val_iter, 2 * global_batch, shuffle=True, seed=epoch, drop_last=True
+            val_iter, min(2 * global_batch, max(len(val_iter), 1)),
+            shuffle=True, seed=epoch, drop_last=False,
         )
         val_result = do_validation(model, state.params, val_loader, conf.fs)
         print("result:", val_result)

@@ -310,9 +310,12 @@ class BatchLoader:
         if drop_last:
             order = order[: len(order) // batch_size * batch_size]
         self.order = order
+        self._drop_last = drop_last
 
     def __len__(self):
-        return len(self.order) // self.batch_size
+        if getattr(self, "_drop_last", True):
+            return len(self.order) // self.batch_size
+        return -(-len(self.order) // self.batch_size)
 
     def _batch_indices(self, i):
         return self.order[i * self.batch_size : (i + 1) * self.batch_size]
