@@ -146,9 +146,14 @@ def main(argv=None):
             data_iter, global_batch, shuffle=True, seed=epoch, drop_last=True
         )
         loss_all = []
+        n_chunk_samples = int(chunk * conf.fs)
         for idx, batch in enumerate(loader):
             t1 = time.time()
             audio = batch["audioSlices"]
+            # chunk boundaries are float seconds, so raw lengths jitter by a
+            # sample; crop to a fixed size so ONE program shape serves every
+            # step (a fresh XLA compile per step otherwise)
+            audio = audio[:, : min(n_chunk_samples, audio.shape[1])]
             notes_batch = batch["notes"]
             frames = frame_fn(jnp.asarray(audio))
             labels = encode_batch(
