@@ -125,17 +125,22 @@ class TransKunModule(nn.Module):
             downsample_f=conf.downsampleF,
             dtype=self.compute_dtype,
         )
-        if not conf.useInnerProductScorer:
-            raise NotImplementedError(
-                "V2 uses the inner-product scorer; the pairwise-MLP scorer "
-                "lives in the V1 ablation model (models/ablation.py)"
+        if conf.useInnerProductScorer:
+            self.scorer = ScaledInnerProductIntervalScorer(
+                conf.baseSize * conf.scoringExpansionFactor,
+                1,
+                dropout=conf.scoreDropoutProb,
+                score_dtype=self.compute_dtype,
             )
-        self.scorer = ScaledInnerProductIntervalScorer(
-            conf.baseSize * conf.scoringExpansionFactor,
-            1,
-            dropout=conf.scoreDropoutProb,
-            score_dtype=self.compute_dtype,
-        )
+        else:
+            # ablation fallback: project the stacked per-pitch contexts and
+            # score with the V1 pairwise-MLP scorer (ref ``:107-109,207-211``)
+            from .ablation import PairwiseFeatureBatch
+
+            self.scorerProj = nn.Dense(512)
+            self.scorer = PairwiseFeatureBatch(
+                512, len(target_midi_pitches()), dropout=conf.scoreDropoutProb
+            )
         self.velocityPredictor = MLPHead(
             conf.velocityPredictorHiddenSize, 128, conf.velocityDropoutProb
         )
@@ -153,7 +158,14 @@ class TransKunModule(nn.Module):
         features = self.frontend(frames)  # [N, T, M, nWin]
         pitches = jnp.asarray(target_midi_pitches(), jnp.float32)
         ctx = self.backbone(features, pitches, deterministic)  # [N,P,T,D]
-        s, noise = self.scorer(ctx)  # [T,T,N,P], [T-1,N,P]
+        if self.conf.useInnerProductScorer:
+            s, noise = self.scorer(ctx)  # [T,T,N,P], [T-1,N,P]
+        else:
+            # [N,P,T,D] -> [T, N, P*D] -> projected pairwise scoring
+            ctx_score = jnp.transpose(ctx, (2, 0, 1, 3)).reshape(
+                ctx.shape[2], ctx.shape[0], -1
+            )
+            s, noise = self.scorer(self.scorerProj(ctx_score), deterministic)
         t = s.shape[0]
         s = s.reshape(t, t, -1)
         noise = noise.reshape(t - 1, -1)
@@ -597,11 +609,26 @@ class TransKun:
             module = self.module
             n_sym = len(self.targetMIDIPitch)
 
+            use_ip = self.conf.useInnerProductScorer
+
             @jax.jit
             def fn(params, seg_audio):  # [B, C, S]
                 frames = frontend.make_frame(seg_audio, hop, win)
                 n = frames.shape[0]
                 t = frontend.num_frames(seg_audio.shape[-1], hop)
+                if not use_ip:
+                    # pairwise-scorer fallback: generic (unfused) decode path
+                    s, noise, ctx = module.apply(
+                        params, frames, True,
+                        method=TransKunModule.process_frames,
+                    )
+                    ptr, diag = semicrf.viterbi_backward_tables_best(s, noise)
+                    n_edge = t - last_frame_idx
+                    bpres = module.apply(
+                        params, ctx, n_edge,
+                        method=TransKunModule.boundary_offset_presence,
+                    )
+                    return ptr, diag, bpres, ctx
                 t_pad = -(-t // 8) * 8
                 # pad the track axis so lanes (N * p_pad) hit a 128 multiple
                 p_pad = n_sym
