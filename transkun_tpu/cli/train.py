@@ -95,13 +95,17 @@ def main(argv=None):
 
     ckpt_path = args.saved_filename
     if os.path.exists(ckpt_path):
+        from ..train.checkpoint import restore_opt_state
+
         print("resuming from checkpoint...")
         ckpt = load_checkpoint(ckpt_path)
         state = TrainState(
             params=ckpt["params"],
-            opt_state=ckpt["opt_state"],
-            clip_state=QuantileClipState(ckpt["clip_buffer"], ckpt["clip_idx"]),
-            step=ckpt["step"],
+            opt_state=restore_opt_state(ckpt["opt_state"], state.opt_state),
+            clip_state=QuantileClipState(
+                jnp.asarray(ckpt["clip_buffer"]), jnp.asarray(ckpt["clip_idx"])
+            ),
+            step=jnp.asarray(ckpt["step"]),
         )
         best_params = ckpt.get("best_params", ckpt["params"])
         extra = ckpt.get("extra", {}) or {}

@@ -43,6 +43,17 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return ckptr.restore(path)
 
 
+def restore_opt_state(restored, template):
+    """Rebuild an optax state NamedTuple structure from an orbax-restored
+    plain-dict tree (leaf order is preserved by the checkpoint layout)."""
+    import jax
+
+    leaves = jax.tree.leaves(restored)
+    structure = jax.tree.structure(template)
+    assert structure.num_leaves == len(leaves), (structure.num_leaves, len(leaves))
+    return jax.tree.unflatten(structure, leaves)
+
+
 def merge_params_tolerant(target, source):
     """Overwrite leaves of ``target`` with same-path, same-shape leaves from
     ``source`` (the reference's tolerant partial restore,
