@@ -180,13 +180,17 @@ def mel_spectrum_gemm(
     return mel
 
 
-def spectrum(frames: Array, wins: Array) -> Array:
+def spectrum(frames: Array, wins: Array, log: bool = False) -> Array:
     """Multi-window spectrogram (``Util.py:101-124``).
 
     frames: [..., nFrame, windowSize]; wins: [nWin, windowSize].
     Returns complex [..., nFrame, nFreq, nWin] (ortho-normalized rFFT).
+    With ``log``, packs (magnitude, phase) into the complex parts like the
+    reference's log variant (``Util.py:117-118``).
     """
     z = jnp.fft.rfft(frames[..., None, :] * wins, norm="ortho")
+    if log:
+        z = jax.lax.complex(jnp.abs(z), jnp.angle(z))
     return jnp.swapaxes(z, -1, -2)
 
 
