@@ -86,7 +86,9 @@ def main(argv=None):
         warmup_cutoff=args.warmupCutoff,
     )
     step_fn = make_train_step(
-        model.module, optimizer, mesh=mesh, clip_quantile=args.gradClippingQuantile
+        model.module, optimizer, mesh=mesh,
+        clip_quantile=args.gradClippingQuantile,
+        loss_fn=model.make_train_loss(axis_name="dp" if mesh else None),
     )
     state = init_train_state(params, optimizer)
     best_params = params
@@ -103,7 +105,7 @@ def main(argv=None):
             params=ckpt["params"],
             opt_state=restore_opt_state(ckpt["opt_state"], state.opt_state),
             clip_state=QuantileClipState(
-                jnp.asarray(ckpt["clip_buffer"]), jnp.asarray(ckpt["clip_idx"])
+                jnp.asarray(ckpt["clip_buffer"]), jnp.asarray(ckpt["clip_count"])
             ),
             step=jnp.asarray(ckpt["step"]),
         )

@@ -73,6 +73,62 @@ class AblationConfig:
 Config = AblationConfig
 
 
+class SyncBatchNorm(nn.Module):
+    """BatchNorm whose train-mode batch statistics are globally summed across
+    the ``axis_name`` mesh axis — the TPU-native counterpart of the
+    reference's autograd-enabled all_reduce SyncBN (``SyncBN.py:112-143``).
+
+    Exact reference semantics: normalization uses the globally-pooled BIASED
+    variance ``E[x^2]-E[x]^2``; running stats update with momentum 0.01 and
+    the reference's ``uvar = ssum/(n-1) - mean^2`` (``SyncBN.py:131-136`` —
+    note this differs from the textbook unbiased variance by a factor
+    ``n/(n-1)`` on the mean^2 term; reproduced as-is for parity).  The psum
+    of (sum, ssum) differentiates through, like the reference's
+    ``AllReduce_autograd_enabled``.  Variable names (params scale/bias,
+    batch_stats mean/var) match flax BatchNorm so converted torch
+    checkpoints load unchanged.
+    """
+
+    momentum: float = 0.01
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+    use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            s = jnp.sum(xf, axis=red)
+            ss = jnp.sum(xf * xf, axis=red)
+            n = jnp.float32(xf.size // c)
+            if self.axis_name is not None:
+                s = jax.lax.psum(s, self.axis_name)
+                ss = jax.lax.psum(ss, self.axis_name)
+                n = jax.lax.psum(n, self.axis_name)
+            mean = s / n
+            var = ss / n - mean * mean
+            if not self.is_initializing():
+                uvar = ss / (n - 1.0) - mean * mean
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * uvar
+        inv_std = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+        y = (x.astype(jnp.float32) - mean) * inv_std * scale + bias
+        return y.astype(x.dtype)
+
+
 class ConvBlock(nn.Module):
     """Conv-BN-GELU x2 + average-pool downsample
     (ref ``ConvBlock_ablation``, ``Layers_ablation.py:11-71``)."""
@@ -89,9 +145,8 @@ class ConvBlock(nn.Module):
         # x: [N, T, F, C]
         k = self.kernel_size
         pad = ((k // 2, k // 2), (k // 2, k // 2))
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: SyncBatchNorm(
             use_running_average=not train,
-            momentum=0.99,  # torch momentum 0.01
             axis_name=self.bn_axis_name if train else None,
             name=name,
         )
@@ -209,7 +264,11 @@ class PairwiseFeatureBatch(nn.Module):
             idx_a = jnp.minimum(idx_a, t - 1)
             cur_a = x[idx_a[:, 0]][:, None]  # [K, 1, N, C]
             cur_b = x[None, :, :, :]  # [1, T, N, C]
+            # upper-triangle (b > a) spans are masked out below, but their
+            # length must stay positive: a 0/negative divisor makes inf/NaN
+            # that the tril-where cannot stop in the BACKWARD pass
             length = (idx_a - idx_b[None, :] + 1).astype(x.dtype)[:, :, None, None]
+            length = jnp.maximum(length, 1.0)
             m1 = (x_cum[idx_a[:, 0] + 1][:, None] - x_cum[None, :t]) / length
             m2 = (x2_cum[idx_a[:, 0] + 1][:, None] - x2_cum[None, :t]) / length
             m3 = (x3_cum[idx_a[:, 0] + 1][:, None] - x3_cum[None, :t]) / length
@@ -358,6 +417,74 @@ class _Head3(nn.Module):
         return nn.Dense(self.out_size, name="lin3")(x)
 
 
+def log_prob_padded(
+    module: "TransKunAblationModule",
+    variables,
+    frames: Array,
+    labels: Tuple[Array, ...],
+    rngs=None,
+    deterministic: bool = True,
+    train: bool = False,
+) -> Tuple[Array, Any]:
+    """V1 training objective: per-track log-probability [N, P] plus the
+    mutated BatchNorm running stats (ref ``log_prob``,
+    ``Model_ablation.py:271-364``), fully static-shaped.
+
+    labels = (begins, ends, mask, velocity, refine, presence); V1 has no
+    presence term (2-logit refined-OF head, ``Model_ablation.py:170-178``).
+    With ``train=True`` BatchNorm uses batch statistics and returns updated
+    running stats in the second element (the reference's SyncBN train mode,
+    ``SyncBN.py:12-143``); otherwise the second element is ``{}``.
+    """
+    from ..data.labels import encode_batch  # noqa: F401  (doc parity)
+    from ..ops import distributions as dist
+    from ..ops import semicrf
+
+    begins, ends, mask, velocity, refine, _presence = labels
+    n, p, k = begins.shape
+    if train:
+        (s, s_skip, ctx), mut = module.apply(
+            variables,
+            frames,
+            deterministic,
+            True,
+            method=TransKunAblationModule.process_frames,
+            rngs=rngs,
+            mutable=["batch_stats"],
+        )
+    else:
+        s, s_skip, ctx = module.apply(
+            variables,
+            frames,
+            deterministic,
+            False,
+            method=TransKunAblationModule.process_frames,
+            rngs=rngs,
+        )
+        mut = {}
+    path = semicrf.eval_path_padded(
+        s, s_skip,
+        begins.reshape(n * p, k), ends.reshape(n * p, k), mask.reshape(n * p, k),
+    )
+    logz = semicrf.log_z_best(s, s_skip)
+    logp = (path - logz).reshape(n, p)
+
+    # gather endpoint context without materializing [N,P,T,D]
+    ctx_a = jnp.take_along_axis(ctx[:, None], begins[..., None], axis=2)
+    ctx_b = jnp.take_along_axis(ctx[:, None], ends[..., None], axis=2)
+    vel_logits, of_value = module.apply(
+        variables, ctx_a, ctx_b, deterministic,
+        method=TransKunAblationModule.attributes, rngs=rngs,
+    )
+    logp_vel = jnp.take_along_axis(
+        jax.nn.log_softmax(vel_logits, axis=-1), velocity[..., None], axis=-1
+    )[..., 0]
+    refined = refine * 0.99 + 0.5
+    logp_of = dist.continuous_bernoulli_log_prob(of_value, refined).sum(-1)
+    attr = jnp.where(mask, logp_vel + logp_of, 0.0).sum(-1)
+    return logp + attr, mut
+
+
 class TransKunAblation:
     """Host-facing V1 model: log_prob / transcribe with the same segmentwise
     streaming machinery as V2 minus presence handling."""
@@ -383,6 +510,24 @@ class TransKunAblation:
 
     def param_count(self, params) -> float:
         return sum(x.size for x in jax.tree.leaves(params)) / 1e6
+
+    def make_train_loss(self, axis_name: Optional[str] = None):
+        """Loss for ``make_train_step``: V1 objective with train-mode
+        BatchNorm.  ``axis_name`` names the dp mesh axis so batch statistics
+        are pmean'd across shards inside the kernel — the TPU-native SyncBN
+        (ref ``SyncBN.py:12-143``, engaged when distributed,
+        ``Layers_ablation.py:22-27``)."""
+        module = TransKunAblationModule(
+            self.conf, self.module.compute_dtype, bn_axis_name=axis_name
+        )
+
+        def loss_fn(variables, frames, labels, key):
+            return log_prob_padded(
+                module, variables, frames, labels,
+                rngs={"dropout": key}, deterministic=False, train=True,
+            )
+
+        return loss_fn
 
     def log_prob(self, params, audio_batch, notes_batch, max_events: int = 32,
                  rngs=None, deterministic: bool = True):

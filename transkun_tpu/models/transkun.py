@@ -314,6 +314,20 @@ class TransKun:
     def param_count(self, params) -> float:
         return sum(x.size for x in jax.tree.leaves(params)) / 1e6
 
+    def make_train_loss(self, axis_name=None):
+        """Loss for ``make_train_step`` (model-generic hook; V2 has no
+        mutable collections, so ``axis_name`` is unused here — V1 uses it
+        for SyncBN)."""
+
+        def loss_fn(variables, frames, labels, key):
+            logp = log_prob_padded(
+                self.module, variables, frames, labels,
+                rngs={"dropout": key}, deterministic=False,
+            )
+            return logp, {}
+
+        return loss_fn
+
     # -- training -----------------------------------------------------------
 
     def log_prob(

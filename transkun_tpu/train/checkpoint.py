@@ -24,7 +24,7 @@ def save_checkpoint(path: str, state, best_params=None, extra: Optional[Dict] = 
         "params": state.params,
         "opt_state": state.opt_state,
         "clip_buffer": state.clip_state.buffer,
-        "clip_idx": state.clip_state.idx,
+        "clip_count": state.clip_state.count,
         "step": state.step,
     }
     if best_params is not None:

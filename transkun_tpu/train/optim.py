@@ -66,33 +66,54 @@ def onecycle_with_cutoff(
 
 
 class QuantileClipState(NamedTuple):
-    buffer: jax.Array  # [maxlen] grad-norm history (init value pre-filled)
-    idx: jax.Array  # next write position
+    buffer: jax.Array  # [maxlen] grad-norm history ring buffer
+    count: jax.Array  # total values ever written (ring write pos = count % maxlen)
 
 
 def quantile_clip_init(init_value: float = 40.0, maxlen: int = 10000):
+    """Seed the history with ONE entry, like the reference
+    ``MovingBuffer(initValue=40, maxLen=10000)`` (``TrainUtil.py:12-25``,
+    ``train.py:110``): the quantile is taken over only the observed values,
+    so the clip value tracks real grad norms within a few steps instead of
+    staying pinned at the seed until the buffer cycles."""
     return QuantileClipState(
-        buffer=jnp.full((maxlen,), init_value, jnp.float32),
-        idx=jnp.zeros((), jnp.int32),
+        buffer=jnp.zeros((maxlen,), jnp.float32).at[0].set(init_value),
+        count=jnp.ones((), jnp.int32),
     )
+
+
+def _masked_quantile(buffer: jax.Array, count: jax.Array, q: float) -> jax.Array:
+    """np.quantile (linear interpolation) over the first ``count`` written
+    slots of a ring buffer — ``np.quantile(deque, q)`` on the reference's
+    growing deque (``TrainUtil.py:23-25``)."""
+    maxlen = buffer.shape[0]
+    n = jnp.minimum(count, maxlen)
+    filled = jnp.where(jnp.arange(maxlen) < n, buffer, jnp.inf)
+    s = jnp.sort(filled)
+    pos = q * (n.astype(jnp.float32) - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo.astype(jnp.float32)
+    return s[lo] * (1.0 - frac) + s[hi] * frac
 
 
 def quantile_clip(grads, state: QuantileClipState, quantile: float = 0.8):
     """Clip grads to the running ``quantile`` of past global grad norms and
-    push the current norm into the history (ref ``train.py:239-244``).
+    push the current norm into the history (ref ``train.py:239-244``; the
+    quantile is computed BEFORE the current norm is appended, matching the
+    reference's getQuantile-then-step order).
 
-    Returns (clipped_grads, new_state, grad_norm, clip_value).  The reference
-    grows its deque from one seed entry; here the buffer starts pre-filled
-    with the seed value, converging to identical behavior once full.
+    Returns (clipped_grads, new_state, grad_norm, clip_value).
     """
     leaves = jax.tree.leaves(grads)
     norm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
-    clip_value = jnp.quantile(state.buffer, quantile)
+    clip_value = _masked_quantile(state.buffer, state.count, quantile)
     scale = jnp.minimum(1.0, clip_value / (norm + 1e-6))
     clipped = jax.tree.map(lambda g: g * scale, grads)
+    maxlen = state.buffer.shape[0]
     new_state = QuantileClipState(
-        buffer=state.buffer.at[state.idx].set(norm),
-        idx=(state.idx + 1) % state.buffer.shape[0],
+        buffer=state.buffer.at[state.count % maxlen].set(norm),
+        count=state.count + 1,
     )
     return clipped, new_state, norm, clip_value
 
