@@ -21,11 +21,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from transkun_tpu.models import ModelConfig, TransKun
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import load_default_conf
 
-    conf = ModelConfig.from_dict(
-        dict(baseSize=64, nHead=8, nLayers=6, contextDropoutProb=0.0)
-    )
+    _, conf = load_default_conf()
     model = TransKun(conf, compute_dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), n_frames=691)
 

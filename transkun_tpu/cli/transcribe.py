@@ -47,10 +47,11 @@ def main(argv=None):
     if args.conf is not None:
         _, conf = parse_conf_file(args.conf)
     else:
-        # the shipped-checkpoint architecture (ref pretrained/2.0.conf)
-        conf = ModelConfig.from_dict(
-            dict(baseSize=64, nHead=8, nLayers=6, contextDropoutProb=0.0)
-        )
+        # the shipped-checkpoint architecture (packaged conf asset, same
+        # role as the reference's pkg_resources default, transcribe.py:22-25)
+        from ..models.config import load_default_conf
+
+        _, conf = load_default_conf()
 
     from ..models.transkun import TransKun
 

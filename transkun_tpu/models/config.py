@@ -86,6 +86,20 @@ def parse_conf_file(path: str):
     return module, config
 
 
+def default_conf_path() -> str:
+    """Path of the shipped flagship conf (same JSON schema as the reference's
+    packaged ``transkun/pretrained/2.0.conf``, ``transcribe.py:22-25``)."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "..", "pretrained", "2.0.conf")
+
+
+def load_default_conf():
+    """(model_module, config) for the shipped flagship V2 configuration —
+    the single source of truth used by the CLI, bench, and driver entries."""
+    return parse_conf_file(default_conf_path())
+
+
 def write_conf_template(path: str, module: str = "transkun_tpu.models.transkun"):
     conf = {
         "Model": {
