@@ -292,3 +292,65 @@ class TestReferenceParity:
             intervals, torch.from_numpy(score), torch.from_numpy(noise)
         )
         np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-4, atol=1e-4)
+
+
+class TestDeviceWalk:
+    """walk_backward_device must reproduce the host backtrack exactly."""
+
+    def _tables(self, rng, T, N):
+        score = (rng.normal(size=(T, T, N)) * 2).astype(np.float32)
+        noise = (rng.normal(size=(T - 1, N)) * 0.5).astype(np.float32)
+        return semicrf.viterbi_backward_tables(
+            jnp.asarray(score), jnp.asarray(noise)
+        )
+
+    def test_matches_host_walk(self, rng):
+        ptr, diag = self._tables(rng, 40, 6)
+        ptr_np, diag_np = np.asarray(ptr), np.asarray(diag)
+        host = semicrf.backtrack_backward(ptr_np, diag_np)
+        begins, ends, count, overflow = jax.jit(
+            semicrf.walk_backward_device, static_argnums=3
+        )(ptr, diag, jnp.zeros(6, jnp.int32), 64)
+        assert not bool(np.asarray(overflow).any())
+        for b in range(6):
+            n = int(count[b])
+            dev = list(
+                zip(np.asarray(begins)[b, :n].tolist(), np.asarray(ends)[b, :n].tolist())
+            )
+            assert dev == host[b], b
+
+    def test_matches_host_walk_forced_start(self, rng):
+        ptr, diag = self._tables(rng, 50, 4)
+        starts = [0, 7, 25, 49]
+        host = semicrf.backtrack_backward(np.asarray(ptr), np.asarray(diag), starts)
+        begins, ends, count, overflow = jax.jit(
+            semicrf.walk_backward_device, static_argnums=3
+        )(ptr, diag, jnp.asarray(starts, jnp.int32), 64)
+        assert not bool(np.asarray(overflow).any())
+        for b in range(4):
+            n = int(count[b])
+            dev = list(
+                zip(np.asarray(begins)[b, :n].tolist(), np.asarray(ends)[b, :n].tolist())
+            )
+            assert dev == host[b], b
+
+    def test_overflow_flag(self, rng):
+        # force many singletons so tiny k_max overflows
+        T, N = 30, 2
+        score = np.full((T, T, N), -5.0, np.float32)
+        for t in range(T):
+            score[t, t] = 5.0  # every position fires a singleton
+        noise = np.ones((T - 1, N), np.float32)
+        ptr, diag = semicrf.viterbi_backward_tables(
+            jnp.asarray(score), jnp.asarray(noise)
+        )
+        begins, ends, count, overflow = semicrf.walk_backward_device(
+            ptr, diag, jnp.zeros(N, jnp.int32), 8
+        )
+        assert bool(np.asarray(overflow).all())
+        assert int(np.asarray(count).max()) == 8
+        host = semicrf.backtrack_backward(np.asarray(ptr), np.asarray(diag))
+        # the first 8 emitted events still match the host walk prefix
+        for b in range(N):
+            dev = list(zip(np.asarray(begins)[b].tolist(), np.asarray(ends)[b].tolist()))
+            assert dev == host[b][:8]

@@ -468,6 +468,36 @@ class TransKun:
             self._decode_fn["main"] = fn
         return self._decode_fn["main"]
 
+    def _attr_readout(self, params, ctx, begins, ends, criterion):
+        """Traceable attribute readout: gather endpoint contexts + heads +
+        velocity criterion (ref ``transcribeFrames``, ``:590-645``)."""
+        ctx_a = _gather_ctx(ctx, begins)
+        ctx_b = _gather_ctx(ctx, ends)
+        vel_logits, of_value, of_presence = self.module.apply(
+            params, ctx_a, ctx_b, True, method=TransKunModule.attributes
+        )
+        p_velocity = jax.nn.softmax(vel_logits, axis=-1)
+        w = jnp.arange(128, dtype=p_velocity.dtype)
+        if criterion == "mse":
+            velocity = jnp.sum(p_velocity * w, axis=-1)
+        elif criterion == "match":
+            utility = (
+                jnp.abs(w[:, None] - w[None, :]) < 0.1 * 128
+            ).astype(p_velocity.dtype)
+            velocity = jnp.argmax(p_velocity @ utility, axis=-1)
+        elif criterion == "hamming":
+            velocity = jnp.argmax(p_velocity, axis=-1)
+        elif criterion == "mae":
+            pcum = jnp.cumsum(p_velocity, axis=-1)
+            w2 = jnp.arange(128, 0.0, -1.0)
+            velocity = jnp.argmax(((pcum - 0.5) > 0) * w2, axis=-1)
+        else:
+            raise ValueError(f"Unrecognized criterion: {criterion}")
+        of = jnp.clip(
+            (dist.continuous_bernoulli_mean(of_value) - 0.5) / 0.99, -0.5, 0.5
+        )
+        return velocity, of, of_presence > 0
+
     def _get_attr_fn(self):
         """Jitted attribute readout; the velocity criterion runs on device so
         only [N,P,K]-sized results cross the host link."""
@@ -475,32 +505,7 @@ class TransKun:
 
             @partial(jax.jit, static_argnames=("criterion",))
             def fn(params, ctx, begins, ends, criterion="hamming"):
-                ctx_a = _gather_ctx(ctx, begins)
-                ctx_b = _gather_ctx(ctx, ends)
-                vel_logits, of_value, of_presence = self.module.apply(
-                    params, ctx_a, ctx_b, True, method=TransKunModule.attributes
-                )
-                p_velocity = jax.nn.softmax(vel_logits, axis=-1)
-                w = jnp.arange(128, dtype=p_velocity.dtype)
-                if criterion == "mse":
-                    velocity = jnp.sum(p_velocity * w, axis=-1)
-                elif criterion == "match":
-                    utility = (
-                        jnp.abs(w[:, None] - w[None, :]) < 0.1 * 128
-                    ).astype(p_velocity.dtype)
-                    velocity = jnp.argmax(p_velocity @ utility, axis=-1)
-                elif criterion == "hamming":
-                    velocity = jnp.argmax(p_velocity, axis=-1)
-                elif criterion == "mae":
-                    pcum = jnp.cumsum(p_velocity, axis=-1)
-                    w2 = jnp.arange(128, 0.0, -1.0)
-                    velocity = jnp.argmax(((pcum - 0.5) > 0) * w2, axis=-1)
-                else:
-                    raise ValueError(f"Unrecognized criterion: {criterion}")
-                of = jnp.clip(
-                    (dist.continuous_bernoulli_mean(of_value) - 0.5) / 0.99, -0.5, 0.5
-                )
-                return velocity, of, of_presence > 0
+                return self._attr_readout(params, ctx, begins, ends, criterion)
 
             self._attr_fn = fn
         return self._attr_fn
@@ -543,13 +548,22 @@ class TransKun:
         intervals_batch,
         velocity_criterion: str,
         last_frame_idx: int,
+        after_attr_dispatch=None,
     ) -> Tuple[List[List[Note]], List[int]]:
         """Attribute readout + Note assembly for decoded interval tracks
-        (the second half of ref ``transcribeFrames``)."""
+        (the second half of ref ``transcribeFrames``).
+
+        ``after_attr_dispatch`` runs right after the attribute program is
+        enqueued but before its results are awaited — the streaming
+        transcriber uses it to dispatch the NEXT group's decode so it queues
+        behind the (tiny) attribute program instead of in front of it.
+        """
         n_batch = len(intervals_batch)
         n_sym = len(self.targetMIDIPitch)
         n_intervals = sum(len(p) for b in intervals_batch for p in b)
         if n_intervals == 0:
+            if after_attr_dispatch is not None:
+                after_attr_dispatch()
             return [[] for _ in range(n_batch)], [0] * (n_batch * n_sym)
 
         # pad decoded intervals into [N, P, K] for the jitted attribute heads;
@@ -560,9 +574,12 @@ class TransKun:
             k *= 2
         begins = np.zeros((n_batch, n_sym, k), np.int32)
         ends = np.zeros((n_batch, n_sym, k), np.int32)
+        counts = np.zeros((n_batch, n_sym), np.int32)
         for i in range(n_batch):
             for j in range(n_sym):
-                for e_idx, (b, e) in enumerate(intervals_batch[i][j]):
+                track = intervals_batch[i][j]
+                counts[i, j] = len(track)
+                for e_idx, (b, e) in enumerate(track):
                     begins[i, j, e_idx] = b
                     ends[i, j, e_idx] = e
 
@@ -570,47 +587,84 @@ class TransKun:
             params, ctx, jnp.asarray(begins), jnp.asarray(ends),
             criterion=velocity_criterion,
         )
+        if after_attr_dispatch is not None:
+            after_attr_dispatch()
+        for a in (velocity, of_value, of_presence):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
         velocity = np.asarray(velocity)
         # float64 on host so tiny epsilons survive (the reference assembles
         # notes in Python floats)
         of_value = np.asarray(of_value, np.float64)
         of_presence = np.asarray(of_presence)
+        mask = np.arange(k)[None, None, :] < counts[..., None]  # [N, P, K]
+        return self._assemble_from_arrays(
+            begins, ends, mask, velocity, of_value, of_presence, last_frame_idx
+        )
 
+    def _assemble_from_arrays(
+        self,
+        begins: np.ndarray,
+        ends: np.ndarray,
+        mask: np.ndarray,
+        velocity: np.ndarray,
+        of_value: np.ndarray,
+        of_presence: np.ndarray,
+        last_frame_idx: int,
+    ) -> Tuple[List[List[Note]], List[int]]:
+        """Vectorized Note assembly from padded event arrays [N, P, K]
+        (the tail of ref ``transcribeFrames``, ``:658-725``).  ``mask`` marks
+        real events; masked slots must be prefix-shaped per track (walk
+        order)."""
+        n_batch, n_sym, k = begins.shape
         frame_dur = self.hopSize / self.fs
-        notes: List[List[Note]] = [[] for _ in range(n_batch)]
-        last_p: List[int] = []
+        kmax_used = int(mask.sum(axis=-1).max()) if mask.any() else 0
+        start_raw = (begins.astype(np.float64) + of_value[..., 0]) * frame_dur
+        end_raw = (ends.astype(np.float64) + of_value[..., 1]) * frame_dur
+        # presence only disambiguates events touching the first/last frame of
+        # the segment (ref ``:693-696``)
+        has_onset = (begins > 0) | of_presence[..., 0]
+        has_offset = (ends < last_frame_idx) | of_presence[..., 1]
+        # monotonic clamps (ref ``:700-711``): start >= previous end,
+        # end >= start + eps — a short K-length sweep of [N, P] vector ops
+        start_c = np.empty_like(start_raw)
+        end_c = np.empty_like(end_raw)
+        last_end = np.zeros((n_batch, n_sym), np.float64)
+        for e_idx in range(kmax_used):
+            s = np.maximum(start_raw[..., e_idx], last_end)
+            e = np.maximum(end_raw[..., e_idx], s + 1e-8)
+            start_c[..., e_idx] = s
+            end_c[..., e_idx] = e
+            last_end = np.where(mask[..., e_idx], e, last_end)
+        # lastP = end of the last offset-having event; decoded interval ends
+        # are strictly increasing per track, so the max is the last
+        last_p_arr = np.max(
+            np.where(mask & has_offset, ends, 0), axis=-1, initial=0
+        )
+
+        pitches = np.asarray(self.targetMIDIPitch)
+        notes: List[List[Note]] = []
         for i in range(n_batch):
-            for j, event_type in enumerate(self.targetMIDIPitch):
-                last_end = 0.0
-                cur_last_p = 0
-                for e_idx, interval in enumerate(intervals_batch[i][j]):
-                    cur_velocity = velocity[i, j, e_idx]
-                    cur_offset = of_value[i, j, e_idx]
-                    start = (interval[0] + cur_offset[0]) * frame_dur
-                    end = (interval[1] + cur_offset[1]) * frame_dur
-                    # presence only disambiguates events touching the
-                    # first/last frame of the segment (ref ``:693-696``)
-                    has_onset = interval[0] > 0 or bool(of_presence[i, j, e_idx][0])
-                    has_offset = interval[1] < last_frame_idx or bool(
-                        of_presence[i, j, e_idx][1]
+            jj, kk = np.nonzero(mask[i])
+            order = np.lexsort((pitches[jj], end_c[i][jj, kk], start_c[i][jj, kk]))
+            jj, kk = jj[order], kk[order]
+            notes.append(
+                [
+                    Note(
+                        start=float(start_c[i, j, e]),
+                        end=float(end_c[i, j, e]),
+                        pitch=int(pitches[j]),
+                        velocity=velocity[i, j, e].item(),  # int (argmax
+                        # criteria) or float (mse expectation), as upstream
+                        hasOnset=bool(has_onset[i, j, e]),
+                        hasOffset=bool(has_offset[i, j, e]),
                     )
-                    start = max(start, last_end)
-                    end = max(end, start + 1e-8)
-                    last_end = end
-                    notes[i].append(
-                        Note(
-                            start=start,
-                            end=end,
-                            pitch=event_type,
-                            velocity=cur_velocity.item(),
-                            hasOnset=has_onset,
-                            hasOffset=has_offset,
-                        )
-                    )
-                    if has_offset:
-                        cur_last_p = interval[1]
-                last_p.append(cur_last_p)
-            notes[i].sort(key=lambda x: (x.start, x.end, x.pitch))
+                    for j, e in zip(jj.tolist(), kk.tolist())
+                ]
+            )
+        last_p = [int(v) for v in last_p_arr.reshape(-1)]
         return notes, last_p
 
     def _get_audio_decode_fn(self, last_frame_idx: int):
@@ -619,75 +673,168 @@ class TransKun:
         Nothing larger than the audio itself crosses the host link."""
         key = ("audio_dec", last_frame_idx)
         if key not in self._decode_fn:
-            hop, win = self.hopSize, self.windowSize
-            module = self.module
-            n_sym = len(self.targetMIDIPitch)
-
-            use_ip = self.conf.useInnerProductScorer
 
             @jax.jit
             def fn(params, seg_audio):  # [B, C, S]
-                frames = frontend.make_frame(seg_audio, hop, win)
-                n = frames.shape[0]
-                t = frontend.num_frames(seg_audio.shape[-1], hop)
-                if not use_ip:
-                    # pairwise-scorer fallback: generic (unfused) decode path
-                    s, noise, ctx = module.apply(
-                        params, frames, True,
-                        method=TransKunModule.process_frames,
-                    )
-                    ptr, diag = semicrf.viterbi_backward_tables_best(s, noise)
-                    n_edge = t - last_frame_idx
-                    bpres = module.apply(
-                        params, ctx, n_edge,
-                        method=TransKunModule.boundary_offset_presence,
-                    )
-                    return ptr, diag, bpres, ctx
-                t_pad = -(-t // 8) * 8
-                # pad the track axis so lanes (N * p_pad) hit a 128 multiple
-                p_pad = n_sym
-                while (n * p_pad) % 128:
-                    p_pad += 1
-                s_t, noise, diag_raw, ctx = module.apply(
-                    params, frames, t_pad, p_pad, True,
-                    method=TransKunModule.process_frames_decode,
+                ptr, diag, bpres, ctx = self._decode_tables_traced(
+                    params, seg_audio, last_frame_idx
                 )
-                if semicrf._use_pallas():
-                    from ..ops import semicrf_pallas
+                # int16 halves the pointer-table transfer (values are frame
+                # offsets in [-1, T), T << 32768)
+                return ptr.astype(jnp.int16), diag, bpres, ctx
 
-                    ptr_pad = semicrf_pallas.viterbi_backward_tables_padded(
-                        s_t, noise, diag_raw * (diag_raw > 0)
+            self._decode_fn[key] = fn
+        return self._decode_fn[key]
+
+    def _decode_tables_traced(self, params, seg_audio, last_frame_idx: int):
+        """Traceable: raw segment audio -> (ptr [t-1, N*P] i32, diag [t, N*P]
+        bool, bpres [N,P,t,n_edge] bool, ctx [N,P,t,D])."""
+        hop, win = self.hopSize, self.windowSize
+        module = self.module
+        n_sym = len(self.targetMIDIPitch)
+        use_ip = self.conf.useInnerProductScorer
+
+        frames = frontend.make_frame(seg_audio, hop, win)
+        n = frames.shape[0]
+        t = frontend.num_frames(seg_audio.shape[-1], hop)
+        if not use_ip:
+            # pairwise-scorer fallback: generic (unfused) decode path
+            s, noise, ctx = module.apply(
+                params, frames, True,
+                method=TransKunModule.process_frames,
+            )
+            ptr, diag = semicrf.viterbi_backward_tables_best(s, noise)
+            n_edge = t - last_frame_idx
+            bpres = module.apply(
+                params, ctx, n_edge,
+                method=TransKunModule.boundary_offset_presence,
+            )
+            return ptr, diag, bpres, ctx
+        t_pad = -(-t // 8) * 8
+        # pad the track axis so lanes (N * p_pad) hit a 128 multiple
+        p_pad = n_sym
+        while (n * p_pad) % 128:
+            p_pad += 1
+        s_t, noise, diag_raw, ctx = module.apply(
+            params, frames, t_pad, p_pad, True,
+            method=TransKunModule.process_frames_decode,
+        )
+        if semicrf._use_pallas():
+            from ..ops import semicrf_pallas
+
+            ptr_pad = semicrf_pallas.viterbi_backward_tables_padded(
+                s_t, noise, diag_raw * (diag_raw > 0)
+            )
+        else:
+            # test/CPU fallback: reconstruct the standard layout
+            s_std = jnp.swapaxes(s_t, 0, 1)[:t, :t].reshape(
+                t, t, n, p_pad
+            )[..., :n_sym].reshape(t, t, n * n_sym).astype(jnp.float32)
+            noise_std = jnp.zeros((t - 1, n * n_sym), jnp.float32)
+            ptr_std, _ = semicrf.viterbi_backward_tables(s_std, noise_std)
+            ptr_pad = jnp.zeros((t_pad, n * p_pad), jnp.int32)
+            ptr_pad = ptr_pad.at[: t - 1].set(
+                jnp.pad(
+                    ptr_std.reshape(t - 1, n, n_sym),
+                    ((0, 0), (0, 0), (0, p_pad - n_sym)),
+                ).reshape(t - 1, n * p_pad)
+            )
+        ptr = (
+            ptr_pad[: t - 1]
+            .reshape(t - 1, n, p_pad)[:, :, :n_sym]
+            .reshape(t - 1, n * n_sym)
+        )
+        diag = (
+            (diag_raw > 0)[:t]
+            .reshape(t, n, p_pad)[:, :, :n_sym]
+            .reshape(t, n * n_sym)
+        )
+        n_edge = t - last_frame_idx
+        bpres = module.apply(
+            params, ctx, n_edge,
+            method=TransKunModule.boundary_offset_presence,
+        )
+        return ptr, diag, bpres, ctx
+
+    def _get_fused_group_fn(
+        self,
+        last_frame_idx: int,
+        step_frames: int,
+        k_max: int = 128,
+    ):
+        """Fully-fused streaming group program: raw segment audio + the
+        group's forcedStartPos -> compact per-event tensors + the NEXT
+        group's forcedStartPos, all on device.
+
+        The sequential stitching chain (pointer walk -> lastP -> next
+        segment's start) runs as ``walk_backward_device`` scans chained
+        INSIDE the program, so nothing but O(events) tensors ever crosses
+        the host link and consecutive groups chain device-to-device.  This
+        is the TPU-first replacement for the reference's per-segment
+        host loop (``ModelTransformer.py:758-791``).
+        """
+        key = ("fused_group", last_frame_idx, step_frames, k_max)
+        if key not in self._decode_fn:
+            n_sym = len(self.targetMIDIPitch)
+
+            @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
+            def fn(params, seg_audio, start_pos, criterion="hamming",
+                   onset_bound=-1):
+                ptr, diag, bpres, ctx = self._decode_tables_traced(
+                    params, seg_audio, last_frame_idx
+                )
+                n = seg_audio.shape[0]
+                t = diag.shape[0]
+                n_edge = bpres.shape[-1]
+                k_range = jnp.arange(k_max, dtype=jnp.int32)
+
+                seg_begins, seg_ends, seg_valid, seg_overflow = [], [], [], []
+                start = start_pos.astype(jnp.int32)
+                for gi in range(n):
+                    cols = slice(gi * n_sym, (gi + 1) * n_sym)
+                    b, e, cnt, ovf = semicrf.walk_backward_device(
+                        ptr[:, cols], diag[:, cols], start, k_max
                     )
-                else:
-                    # test/CPU fallback: reconstruct the standard layout
-                    s_std = jnp.swapaxes(s_t, 0, 1)[:t, :t].reshape(
-                        t, t, n, p_pad
-                    )[..., :n_sym].reshape(t, t, n * n_sym).astype(jnp.float32)
-                    noise_std = jnp.zeros((t - 1, n * n_sym), jnp.float32)
-                    ptr_std, _ = semicrf.viterbi_backward_tables(s_std, noise_std)
-                    ptr_pad = jnp.zeros((t_pad, n * p_pad), jnp.int32)
-                    ptr_pad = ptr_pad.at[: t - 1].set(
-                        jnp.pad(
-                            ptr_std.reshape(t - 1, n, n_sym),
-                            ((0, 0), (0, 0), (0, p_pad - n_sym)),
-                        ).reshape(t - 1, n * p_pad)
+                    valid = k_range[None, :] < cnt[:, None]
+                    if onset_bound >= 0:
+                        valid = valid & (b < onset_bound)
+                    # lastP: end of the last event whose offset is real —
+                    # interior, or presence-confirmed at the segment edge
+                    # (ref ``ModelTransformer.py:713-721``)
+                    bp_seg = bpres[gi]  # [P, T(begin), n_edge]
+                    bp_b = jnp.take_along_axis(bp_seg, b[:, :, None], axis=1)
+                    edge = jnp.clip(e - last_frame_idx, 0, n_edge - 1)
+                    bp = jnp.take_along_axis(bp_b, edge[:, :, None], axis=2)[
+                        ..., 0
+                    ]
+                    ok = (e < last_frame_idx) | bp
+                    # decoded ends are increasing per track -> max == last
+                    lastp = jnp.max(
+                        jnp.where(valid & ok, e, 0), axis=-1, initial=0
                     )
-                ptr = (
-                    ptr_pad[: t - 1]
-                    .reshape(t - 1, n, p_pad)[:, :, :n_sym]
-                    .reshape(t - 1, n * n_sym)
+                    seg_begins.append(b)
+                    seg_ends.append(e)
+                    seg_valid.append(valid)
+                    seg_overflow.append(jnp.any(ovf))
+                    start = jnp.maximum(lastp - step_frames, 0)
+
+                begins = jnp.stack(seg_begins)  # [n, P, K]
+                ends = jnp.stack(seg_ends)
+                valid = jnp.stack(seg_valid)
+                overflow = jnp.any(jnp.stack(seg_overflow))
+                velocity, of, pres = self._attr_readout(
+                    params, ctx, begins, ends, criterion
                 )
-                diag = (
-                    (diag_raw > 0)[:t]
-                    .reshape(t, n, p_pad)[:, :, :n_sym]
-                    .reshape(t, n * n_sym)
+                return (
+                    begins.astype(jnp.int16),
+                    ends.astype(jnp.int16),
+                    valid,
+                    velocity,  # int32 (argmax criteria) or f32 (mse)
+                    of.astype(jnp.float32),
+                    pres,
+                    start,  # next group's forcedStartPos, stays on device
+                    overflow,
                 )
-                n_edge = t - last_frame_idx
-                bpres = module.apply(
-                    params, ctx, n_edge,
-                    method=TransKunModule.boundary_offset_presence,
-                )
-                return ptr, diag, bpres, ctx
 
             self._decode_fn[key] = fn
         return self._decode_fn[key]
@@ -740,6 +887,7 @@ class TransKun:
         onset_bound: Optional[int],
         last_frame_idx: int,
         step_frames: int,
+        after_attr_dispatch=None,
     ) -> Tuple[List[List[Note]], List[List[int]]]:
         n_sym = len(self.targetMIDIPitch)
         ptr, diag, bpres, ctx = handles
@@ -776,7 +924,8 @@ class TransKun:
             [[] for _ in range(n_sym)] for _ in range(n_batch - n_valid)
         ]
         notes, _ = self._attr_and_assemble(
-            params, ctx, paths_padded, velocity_criterion, last_frame_idx
+            params, ctx, paths_padded, velocity_criterion, last_frame_idx,
+            after_attr_dispatch=after_attr_dispatch,
         )
         return notes[:n_valid], group_start_pos
 
@@ -832,42 +981,16 @@ class TransKun:
 
         starts = list(range(0, n_sample, step_size))
         step_frames = int(step_size / self.hopSize)
-        decode_fn = self._get_audio_decode_fn(last_frame_idx)
+        n_sym = len(self.targetMIDIPitch)
 
-        # depth-1 pipeline: the next group's device work is dispatched before
-        # the current group's host walk/assembly, hiding device time behind
-        # host time (dispatch is async; only device_get blocks)
         groups = [
             starts[g0 : g0 + segment_batch]
             for g0 in range(0, len(starts), segment_batch)
         ]
-        handles: Dict[int, tuple] = {}
 
-        def dispatch(k: int):
-            if k < len(groups) and k not in handles:
-                grp = groups[k]
-                sp = grp + [0] * (segment_batch - len(grp))
-                handles[k] = decode_fn(
-                    params, slice_fn(dev_audio, jnp.asarray(sp, jnp.int32))
-                )
-
-        for g_idx, group in enumerate(groups):
-            dispatch(g_idx)
-            dispatch(g_idx + 1)
-            group_events, group_last_p = self._process_group(
-                params,
-                handles.pop(g_idx),
-                len(group),
-                start_pos,
-                velocity_criterion,
-                onset_bound,
-                last_frame_idx,
-                step_frames=step_frames,
-            )
-            for gi, (i, cur_events) in enumerate(zip(group, group_events)):
+        def consume_group(group, group_events):
+            for i, cur_events in zip(group, group_events):
                 begin_time = i / self.fs - pad_time_begin
-                start_pos = group_last_p[gi]
-
                 for e in cur_events:
                     e.start += begin_time
                     e.end += begin_time
@@ -886,6 +1009,80 @@ class TransKun:
                             continue
                     if e.hasOnset:
                         events_by_type[e.pitch].append(e)
+
+        # -- fast path: the whole sequential stitching chain (Viterbi tables
+        # -> pointer walk -> lastP -> next forcedStartPos -> attribute
+        # readout) runs on device; groups chain device-to-device and only
+        # O(events) tensors cross the (slow) host link, fetched async.
+        # The legacy host-walk path remains for per-track event counts above
+        # the fused program's capacity (``overflow``), falling back mid-piece
+        # with identical results.
+        fused_fn = self._get_fused_group_fn(last_frame_idx, step_frames)
+        ob = onset_bound if onset_bound is not None else -1
+        handles: Dict[int, tuple] = {}
+        starts_in: Dict[int, Array] = {}
+        start_dev = jnp.full((n_sym,), start_frame_idx, jnp.int32)
+
+        def dispatch(k: int):
+            nonlocal start_dev
+            if k < len(groups) and k not in handles:
+                grp = groups[k]
+                sp = grp + [0] * (segment_batch - len(grp))
+                starts_in[k] = start_dev
+                out = fused_fn(
+                    params,
+                    slice_fn(dev_audio, jnp.asarray(sp, jnp.int32)),
+                    start_dev,
+                    criterion=velocity_criterion,
+                    onset_bound=ob,
+                )
+                start_dev = out[6]
+                for a in out[:6] + (out[7],):
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
+                handles[k] = out
+
+        fallback_from: Optional[int] = None
+        for g_idx, group in enumerate(groups):
+            dispatch(g_idx)
+            dispatch(g_idx + 1)
+            out = handles.pop(g_idx)
+            begins, ends, valid, velocity, of, pres, _, overflow = out
+            if bool(np.asarray(overflow)):
+                fallback_from = g_idx
+                break
+            group_events, _ = self._assemble_from_arrays(
+                np.asarray(begins, np.int32),
+                np.asarray(ends, np.int32),
+                np.asarray(valid),
+                np.asarray(velocity),
+                np.asarray(of, np.float64),
+                np.asarray(pres),
+                last_frame_idx,
+            )
+            consume_group(group, group_events[: len(group)])
+
+        if fallback_from is not None:
+            # resume with the host-walk path from the overflowing group, with
+            # the start positions the device chain carried to that point
+            start_pos = [int(v) for v in np.asarray(starts_in[fallback_from])]
+            for g_idx in range(fallback_from, len(groups)):
+                group = groups[g_idx]
+                sp = group + [0] * (segment_batch - len(group))
+                group_events, group_last_p = self._transcribe_segment_group(
+                    params,
+                    slice_fn(dev_audio, jnp.asarray(sp, jnp.int32)),
+                    len(group),
+                    start_pos,
+                    velocity_criterion,
+                    onset_bound,
+                    last_frame_idx,
+                    step_frames=step_frames,
+                )
+                start_pos = group_last_p[len(group) - 1]
+                consume_group(group, group_events)
 
         # incomplete events in the final segment get a forced offset
         for event_type in events_by_type:

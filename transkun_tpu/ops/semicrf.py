@@ -421,6 +421,72 @@ def backtrack_forward(
     return results
 
 
+def walk_backward_device(
+    ptr: Array,
+    diag_pos: Array,
+    forced_start: Array,
+    k_max: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """ON-DEVICE pointer walk: the jittable, all-tracks-parallel equivalent of
+    ``backtrack_backward`` (same event order and semantics).
+
+    Exists so the sequential decode chain — Viterbi tables -> pointer walk ->
+    lastP -> next segment's forcedStartPos -> attribute gather — can stay
+    entirely on the accelerator: only compact per-event tensors ever cross
+    the (slow) host link, instead of the full [T-1, NB] pointer table per
+    segment.  The walk is a ``lax.scan`` over the T frame positions; each
+    track's cursor advances when the sweep reaches it, so one pass emits
+    every event exactly in walk order.
+
+    Args:
+      ptr        [T-1, NB] int: -1 = skip to t+1, s >= 0 = interval (t, t+1+s)
+      diag_pos   [T, NB] bool: singleton fires at visited positions
+      forced_start [NB] int32
+      k_max      static event capacity per track
+
+    Returns (begins [NB, K] i32, ends [NB, K] i32, count [NB] i32 clamped to
+    K, overflow [NB] bool — True where a track emitted more than K events;
+    callers must fall back to the host walk for those).
+    """
+    T, nb = diag_pos.shape
+    ptr_pad = jnp.concatenate(
+        [ptr.astype(jnp.int32), jnp.full((1, nb), -1, jnp.int32)], axis=0
+    )
+    k_range = jnp.arange(k_max, dtype=jnp.int32)
+
+    def emit(begins, ends, k_idx, do, b_val, e_val):
+        oh = (k_range[None, :] == k_idx[:, None]) & do[:, None]
+        begins = jnp.where(oh, b_val[:, None], begins)
+        ends = jnp.where(oh, e_val[:, None], ends)
+        return begins, ends, k_idx + do.astype(jnp.int32)
+
+    def step(state, xs):
+        j, k_idx, begins, ends = state
+        sel, dg, t = xs
+        active = t == j
+        tt = jnp.full((nb,), t, jnp.int32)
+        # singleton first (ref backtrack order: diag checked before the move)
+        begins, ends, k_idx = emit(begins, ends, k_idx, active & dg, tt, tt)
+        take_skip = sel < 0
+        e_pos = t + 1 + sel
+        emit_i = active & (t < T - 1) & ~take_skip
+        begins, ends, k_idx = emit(begins, ends, k_idx, emit_i, tt, e_pos)
+        j = jnp.where(
+            active & (t < T - 1), jnp.where(take_skip, t + 1, e_pos), j
+        )
+        return (j, k_idx, begins, ends), None
+
+    j0 = forced_start.astype(jnp.int32)
+    k0 = jnp.zeros((nb,), jnp.int32)
+    z = jnp.zeros((nb, k_max), jnp.int32)
+    (j, k_idx, begins, ends), _ = jax.lax.scan(
+        step,
+        (j0, k0, z, z),
+        (ptr_pad, diag_pos, jnp.arange(T, dtype=jnp.int32)),
+    )
+    return begins, ends, jnp.minimum(k_idx, k_max), k_idx > k_max
+
+
 # ---------------------------------------------------------------------------
 # Wrapper mirroring the reference API (ref ``NeuralSemiCRFInterval``, :553-588)
 # ---------------------------------------------------------------------------
