@@ -1,0 +1,59 @@
+"""Learning-quality guard: train the small V2 model from scratch on a
+synthetic tone corpus and assert note-onset F1 through the full stack
+(label encoding -> semi-CRF NLL -> optimizer -> streaming decode -> matching).
+
+The heavy lifting lives in ``scripts/learning_f1.py``, spawned as a
+subprocess so it escapes this suite's forced-CPU conftest and trains on the
+accelerator when one is present; 1000 steps take ~30 s on a TPU chip but tens
+of minutes on CPU, so CPU-only environments run a shortened smoke variant."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(steps):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "learning_f1.py"),
+         "--steps", str(steps)],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _has_tpu():
+    import subprocess as sp
+
+    probe = sp.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=300,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    return probe.returncode == 0 and "tpu" in probe.stdout
+
+
+@pytest.mark.slow
+def test_learns_to_transcribe_synthetic_tones():
+    if not _has_tpu():
+        # CPU fallback: assert the loop learns (loss collapse), looser F1 bar
+        m = _run(steps=250)
+        print(f"LEARNING_F1(cpu-smoke) {m}")
+        assert m["loss_last"] < m["loss_first"] * 0.2, m
+        return
+    m = _run(steps=1000)
+    print(f"LEARNING_F1 {m}")
+    assert m["loss_last"] < m["loss_first"] * 0.01, m
+    assert m["value"] > 0.7, m
