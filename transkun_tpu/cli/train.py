@@ -50,9 +50,15 @@ def main(argv=None):
     from ..utils.jax_setup import setup_cache
 
     setup_cache()
+    # pod launch: join the multi-process runtime BEFORE any jax backend use
+    # (counterpart of the reference's NCCL process-group init, train.py:29-31)
+    from ..parallel import init_distributed, process_info
+
+    multi_host = init_distributed()
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax.sharding import PartitionSpec as P
 
     from ..data import dataset as D
     from ..data.augment import Augmentator
@@ -71,11 +77,26 @@ def main(argv=None):
         conf, compute_dtype=jnp.bfloat16 if args.bf16 else None
     )
 
+    rank, world = process_info()
     run_seed = int(time.time())
-    n_dev = args.nDevices or jax.local_device_count()
+    if multi_host:
+        # every process must build IDENTICAL replicated params/opt state, so
+        # the seed is agreed on once (ref: rank 0 initializes, others load
+        # the same checkpoint, train.py:53-73)
+        from jax.experimental import multihost_utils
+
+        run_seed = int(
+            multihost_utils.broadcast_one_to_all(np.int32(run_seed % 2**31))
+        )
+    n_dev = args.nDevices or jax.device_count()
     mesh = make_mesh(n_dev) if n_dev > 1 else None
+    local_batch = args.batchSize * max(jax.local_device_count(), 1)
     global_batch = args.batchSize * max(n_dev, 1)
-    print(f"devices: {n_dev}, global batch: {global_batch}")
+    if rank == 0:
+        print(
+            f"devices: {n_dev} ({world} process(es)), "
+            f"global batch: {global_batch}"
+        )
 
     params = model.init(jax.random.PRNGKey(run_seed))
     optimizer = make_optimizer(
@@ -117,12 +138,14 @@ def main(argv=None):
     dataset = D.DatasetMaestro(args.datasetPath, args.datasetMetaFile_train)
     dataset_val = D.DatasetMaestro(args.datasetPath, args.datasetMetaFile_val)
 
-    try:
-        from tensorboardX import SummaryWriter
+    writer = None
+    if rank == 0:  # rank 0 owns logging + checkpoints (ref train.py:257-306)
+        try:
+            from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(ckpt_path + ".log")
-    except Exception:
-        writer = None
+            writer = SummaryWriter(ckpt_path + ".log")
+        except Exception:
+            writer = None
 
     hop = args.hopSize or conf.segmentHopSizeInSecond
     chunk = args.chunkSize or conf.segmentSizeInSecond
@@ -148,11 +171,25 @@ def main(argv=None):
             augmentator=augmentator,
             notes_strictly_contained=False,
         )
+        # each process loads its own rank's shard of the epoch's chunks
+        # (the reference's DistributedSampler, train.py:120-124)
         loader = D.BatchLoader(
-            data_iter, global_batch, shuffle=True, seed=epoch, drop_last=True
+            data_iter, local_batch, shuffle=True, seed=epoch, drop_last=True,
+            rank=rank, world_size=world,
         )
         loss_all = []
         n_chunk_samples = int(chunk * conf.fs)
+
+        def to_global(arr):
+            """Process-local batch shard -> global dp-sharded array."""
+            if not multi_host:
+                return jnp.asarray(arr)
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(arr), mesh, P("dp")
+            )
+
         for idx, batch in enumerate(loader):
             t1 = time.time()
             audio = batch["audioSlices"]
@@ -166,10 +203,12 @@ def main(argv=None):
                 notes_batch, conf.hopSize / conf.fs, model.targetMIDIPitch,
                 args.maxEvents,
             )
+            if multi_host:
+                frames = to_global(np.asarray(frames))
             state, metrics = step_fn(
                 state,
                 frames,
-                tuple(jnp.asarray(a) for a in labels.astuple()),
+                tuple(to_global(a) for a in labels.astuple()),
                 jax.random.PRNGKey(global_step * 7919 + run_seed),
             )
             loss = float(metrics["loss"])
@@ -186,9 +225,12 @@ def main(argv=None):
                 writer.add_scalar("Optimizer/gradNorm", gnorm, global_step)
                 writer.add_scalar("Optimizer/clipValue", clipv, global_step)
 
-            if idx % args.statsEvery == 0:
-                stats = model.compute_stats(state.params, audio, notes_batch)
-                stats2 = model.compute_stats_mireval(state.params, audio, notes_batch)
+            if idx % args.statsEvery == 0 and rank == 0:
+                # decode fns are single-device programs: under multi-host,
+                # pull the replicated params to host once for the stats pass
+                sp = jax.device_get(state.params) if multi_host else state.params
+                stats = model.compute_stats(sp, audio, notes_batch)
+                stats2 = model.compute_stats_mireval(sp, audio, notes_batch)
                 n_gt = stats2["nGT"] + 1e-4
                 n_est = stats2["nEst"] + 1e-4
                 n_cor = stats2["nCorrect"] + 1e-4
@@ -217,41 +259,48 @@ def main(argv=None):
             loss_all.append(loss)
 
             if idx % args.ckptEvery == args.ckptEvery - 1:
-                save_checkpoint(
-                    ckpt_path, state, best_params,
-                    {"loss_tracker": loss_tracker, "epoch": epoch},
-                )
-                print("saved")
+                ckpt_state = jax.device_get(state) if multi_host else state
+                if rank == 0:
+                    save_checkpoint(
+                        ckpt_path, ckpt_state, best_params,
+                        {"loss_tracker": loss_tracker, "epoch": epoch},
+                    )
+                    print("saved")
             global_step += 1
 
-        # validation
-        print("Validating...")
-        val_iter = D.DatasetMaestroIterator(
-            dataset_val,
-            conf.segmentHopSizeInSecond,
-            chunk,
-            notes_strictly_contained=False,
-            seed=run_seed + epoch * 100,
-        )
-        val_loader = D.BatchLoader(
-            val_iter, min(2 * global_batch, max(len(val_iter), 1)),
-            shuffle=True, seed=epoch, drop_last=False,
-        )
-        val_result = do_validation(model, state.params, val_loader, conf.fs)
-        print("result:", val_result)
-        if writer:
-            for k, v in val_result.items():
-                writer.add_scalar("val/" + k, v, epoch)
+        # validation (rank 0 hosts the decode programs; the reference
+        # all_reduces a 5-vector instead, TrainUtil.py:254-263)
+        val_params = jax.device_get(state.params) if multi_host else state.params
+        if rank == 0:
+            print("Validating...")
+            val_iter = D.DatasetMaestroIterator(
+                dataset_val,
+                conf.segmentHopSizeInSecond,
+                chunk,
+                notes_strictly_contained=False,
+                seed=run_seed + epoch * 100,
+            )
+            val_loader = D.BatchLoader(
+                val_iter, min(2 * global_batch, max(len(val_iter), 1)),
+                shuffle=True, seed=epoch, drop_last=False,
+            )
+            val_result = do_validation(model, val_params, val_loader, conf.fs)
+            print("result:", val_result)
+            if writer:
+                for k, v in val_result.items():
+                    writer.add_scalar("val/" + k, v, epoch)
 
-        loss_tracker["train"].append(sum(loss_all) / max(len(loss_all), 1))
-        loss_tracker["val"].append(val_result["f1"])
-        if val_result["f1"] >= max(loss_tracker["val"]):
-            print("best updated")
-            best_params = jax.tree.map(lambda x: x, state.params)
-        save_checkpoint(
-            ckpt_path, state, best_params,
-            {"loss_tracker": loss_tracker, "epoch": epoch + 1},
-        )
+            loss_tracker["train"].append(sum(loss_all) / max(len(loss_all), 1))
+            loss_tracker["val"].append(val_result["f1"])
+            if val_result["f1"] >= max(loss_tracker["val"]):
+                print("best updated")
+                best_params = val_params
+            save_checkpoint(
+                ckpt_path,
+                jax.device_get(state) if multi_host else state,
+                best_params,
+                {"loss_tracker": loss_tracker, "epoch": epoch + 1},
+            )
 
 
 if __name__ == "__main__":

@@ -326,25 +326,29 @@ class BatchLoader:
                 yield self.collate([self.data[j] for j in self._batch_indices(i)])
             return
 
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(self.num_workers) as pool:
+            # one future PER SAMPLE (not per batch): samples of the same
+            # batch load concurrently across workers, and `prefetch` batches
+            # stay in flight.  No nested pools — workers only run
+            # data[j]; collate runs on the consumer thread.
+            def submit_batch(i):
+                return [
+                    pool.submit(self.data.__getitem__, j)
+                    for j in self._batch_indices(i)
+                ]
 
-            def load_batch(i):
-                # samples load sequentially within a batch; parallelism comes
-                # from `prefetch` batches in flight (avoids nested-pool
-                # deadlock when every worker waits on sample futures)
-                samples = [self.data[j] for j in self._batch_indices(i)]
-                return self.collate(samples)
-
-            pending = []
+            pending = deque()
             nxt = 0
             while nxt < min(self.prefetch, len(self)):
-                pending.append(pool.submit(load_batch, nxt))
+                pending.append(submit_batch(nxt))
                 nxt += 1
             for _ in range(len(self)):
-                batch = pending.pop(0).result()
+                futs = pending.popleft()
+                samples = [f.result() for f in futs]
                 if nxt < len(self):
-                    pending.append(pool.submit(load_batch, nxt))
+                    pending.append(submit_batch(nxt))
                     nxt += 1
-                yield batch
+                yield self.collate(samples)

@@ -1,1 +1,7 @@
-from .mesh import batch_sharding, make_mesh, replicated
+from .mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    process_info,
+    replicated,
+)

@@ -1,15 +1,20 @@
-"""Device mesh and sharding helpers.
+"""Device mesh and sharding helpers + multi-host (pod) initialization.
 
 The reference scales by NCCL data parallelism only (``train.py:29-31``,
-``TrainUtil.py:36-56``).  Here the equivalent is a JAX mesh with a ``dp``
-axis over ICI: the batch is sharded over ``dp``, parameters and optimizer
-state are replicated, and the gradient all-reduce is a ``psum`` inside the
-jitted train step (inserted explicitly via shard_map).  Multi-host DCN comes
-for free from ``jax.distributed`` when launched on a pod.
+``TrainUtil.py:36-56``), one spawned process per GPU on one node.  Here the
+equivalent is a JAX mesh with a ``dp`` axis: the batch is sharded over
+``dp``, parameters and optimizer state are replicated, and the gradient
+all-reduce is a ``psum`` inside the jitted train step (inserted explicitly
+via shard_map).  On one host the ``dp`` axis rides ICI; on a pod,
+``init_distributed()`` must run BEFORE any other jax call so every process
+joins one runtime and ``jax.devices()`` spans all hosts — the psum then
+rides ICI within a slice and DCN across slices, with no code change in the
+train step.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -17,9 +22,58 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed() -> bool:
+    """Join the multi-process JAX runtime when launched on a pod, i.e. the
+    counterpart of the reference's NCCL process-group setup
+    (``train.py:29-31,400-403``) minus the per-GPU fork: one process per
+    host, all chips of all hosts in one namespace.
+
+    Initialization sources, in order:
+      * TPU pod metadata (GCE/ GKE): ``jax.distributed.initialize()`` with no
+        arguments auto-discovers coordinator/process ids.
+      * Explicit env: ``JAX_COORDINATOR`` (host:port) +
+        ``JAX_PROCESS_ID`` / ``JAX_NUM_PROCESSES``.
+
+    Returns True if a multi-process runtime was initialized.  Must be called
+    before the first jax backend use.  No-op (False) for single-host runs.
+    """
+    coord = os.environ.get("JAX_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    # TPU pod runtime env (one process per host, auto-discovered).  A
+    # single-entry worker list (e.g. TPU_WORKER_HOSTNAMES=localhost on a
+    # lone chip) is NOT a pod — plain single-process execution.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([w for w in workers.split(",") if w.strip()]) > 1 or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            # backend already up (e.g. under a test harness) — stay
+            # single-process rather than crash
+            return False
+        return True
+    return False
+
+
+def process_info():
+    """(process_index, process_count) — the loader-sharding rank/world pair
+    (maps onto ``DatasetMaestroIterator``'s rank/world_size hooks like the
+    reference's DistributedSampler, ``train.py:120-124``)."""
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(
     n_devices: Optional[int] = None, axis_names: Sequence[str] = ("dp",)
 ) -> Mesh:
+    """A dp mesh over ALL devices of the runtime — local chips single-host,
+    every chip of every host after ``init_distributed()``."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
