@@ -107,3 +107,117 @@ def test_interval_index(rng):
             i for i, n in enumerate(notes) if n.start < qe and n.end > qs
         )
         assert got == want, (qs, qe)
+
+
+# -- raw-SMF edge cases (hand-built byte streams) ---------------------------
+
+
+def _vlq(v):
+    out = [v & 0x7F]
+    v >>= 7
+    while v:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    return bytes(reversed(out))
+
+
+def _track(events):
+    """events: list of (delta_ticks, payload bytes)"""
+    import struct
+
+    data = bytearray()
+    for dt, payload in events:
+        data += _vlq(dt) + payload
+    data += _vlq(0) + b"\xff\x2f\x00"
+    return b"MTrk" + struct.pack(">I", len(data)) + bytes(data)
+
+
+def _smf(tracks, fmt=1, division=480):
+    import struct
+
+    return (
+        b"MThd"
+        + struct.pack(">IHHH", 6, fmt, len(tracks), division)
+        + b"".join(tracks)
+    )
+
+
+def test_format0_single_track(tmp_path):
+    # format-0: meta + channel events in ONE track
+    trk = _track(
+        [
+            (0, b"\xff\x51\x03" + (500000).to_bytes(3, "big")),
+            (0, bytes([0x90, 60, 100])),
+            (480, bytes([0x80, 60, 0])),  # one beat = 0.5 s at 120 bpm
+        ]
+    )
+    p = tmp_path / "f0.mid"
+    p.write_bytes(_smf([trk], fmt=0))
+    mf = read_midi(str(p))
+    assert len(mf.notes) == 1
+    n = mf.notes[0]
+    assert n.pitch == 60 and n.velocity == 100
+    assert abs(n.start - 0.0) < 1e-9 and abs(n.end - 0.5) < 1e-9
+
+
+def test_running_status_across_channels(tmp_path):
+    # running status persists until a new status byte, including across
+    # same-status repeats; channel changes require a new status byte
+    trk = _track(
+        [
+            (0, bytes([0x90, 60, 100])),
+            (10, bytes([62, 100])),        # running status: note-on ch0
+            (10, bytes([0x91, 64, 100])),  # new status: note-on ch1
+            (10, bytes([65, 100])),        # running status: note-on ch1
+            (10, bytes([0x80, 60, 0])),
+            (0, bytes([62, 0])),           # running status: note-off ch0
+            (0, bytes([0x81, 64, 0])),
+            (0, bytes([65, 0])),           # running status: note-off ch1
+        ]
+    )
+    p = tmp_path / "rs.mid"
+    p.write_bytes(_smf([trk]))
+    mf = read_midi(str(p))
+    assert sorted(n.pitch for n in mf.notes) == [60, 62, 64, 65]
+    # all four closed by their channel's note-offs
+    assert all(n.end > n.start for n in mf.notes)
+
+
+def test_simultaneous_same_pitch_on_off(tmp_path):
+    # off at the same tick as a new on must close the OLD note, keep the new
+    trk = _track(
+        [
+            (0, bytes([0x90, 60, 100])),
+            (480, bytes([0x90, 60, 90])),  # re-onset at t of the off below
+            (0, bytes([0x80, 60, 0])),     # same tick: closes the OLD note
+            (480, bytes([0x80, 60, 0])),
+        ]
+    )
+    p = tmp_path / "sim.mid"
+    p.write_bytes(_smf([trk]))
+    mf = read_midi(str(p))
+    assert len(mf.notes) == 2
+    a, b = sorted(mf.notes, key=lambda n: n.start)
+    assert abs(a.start - 0.0) < 1e-9 and abs(a.end - 0.5) < 1e-9
+    assert a.velocity == 100
+    assert abs(b.start - 0.5) < 1e-9 and abs(b.end - 1.0) < 1e-9
+    assert b.velocity == 90
+
+
+def test_dangling_note_on_held_to_track_end(tmp_path):
+    trk = _track(
+        [
+            (0, bytes([0x90, 60, 100])),
+            (480, bytes([0x90, 64, 90])),   # never turned off
+            (480, bytes([0x80, 60, 0])),    # file ends at tick 960
+        ]
+    )
+    p = tmp_path / "dangle.mid"
+    p.write_bytes(_smf([trk]))
+    mf = read_midi(str(p))
+    assert len(mf.notes) == 2
+    by_pitch = {n.pitch: n for n in mf.notes}
+    assert abs(by_pitch[60].end - 1.0) < 1e-9
+    # dangling note-on held to the final event time (pretty_midi behavior)
+    assert abs(by_pitch[64].start - 0.5) < 1e-9
+    assert abs(by_pitch[64].end - 1.0) < 1e-9

@@ -181,6 +181,7 @@ def read_midi(path: str) -> MidiFile:
         return seg_secs[i] + (tick - seg_ticks[i]) * tempo_events[i][1] / 1e6 / division
 
     raw.sort(key=lambda e: (e[0], e[1]))
+    end_tick = raw[-1][0] if raw else 0
     notes: List[Note] = []
     ccs: List[ControlChange] = []
     open_notes = {}  # (channel, pitch) -> list of (start_tick, velocity)
@@ -204,7 +205,14 @@ def read_midi(path: str) -> MidiFile:
         elif kind == 0xB0:
             ccs.append(ControlChange(d1, d2, tick2sec(tick)))
 
-    # close dangling notes at their start (zero length -> dropped downstream)
+    # dangling note-ons (no matching note-off) are held to the end of the
+    # file, pretty_midi-style, instead of being silently dropped
+    for (_ch, pitch), opens in open_notes.items():
+        for start_tick, vel in opens:
+            if start_tick < end_tick:
+                notes.append(
+                    Note(tick2sec(start_tick), tick2sec(end_tick), pitch, vel)
+                )
     notes.sort(key=lambda n: (n.start, n.end, n.pitch))
     ccs.sort(key=lambda c: c.time)
     return MidiFile(notes, ccs)
