@@ -82,3 +82,34 @@ def test_compare_transcription_perfect():
     assert metrics["frame"][2] > 0.999
     assert metrics["pedal64"][2] == 1.0
     assert metrics["nGT"] == 2  # pedals split out
+
+
+def test_golden_fixtures():
+    """Frozen metric outputs on randomized est/GT fixtures: pins the whole
+    matching stack (Hopcroft-Karp matching, velocity rescale, framewise
+    overlap, pedal split, deviations) against silent behavior drift.
+    Regenerate ONLY for an intentional semantics change — and A/B against
+    mir_eval first when that library is available (VERDICT r1 #10)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from transkun_tpu.data.note import Note
+    from transkun_tpu.eval.evaluation import compare_transcription
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "eval_fixtures.json")
+    cases = json.load(open(path))
+    assert len(cases) == 6
+    for ci, case in enumerate(cases):
+        gt = [Note(*row) for row in case["gt"]]
+        est = [Note(*row) for row in case["est"]]
+        m = compare_transcription(
+            est, gt, split_pedal=case["split_pedal"], compute_deviations=True
+        )
+        for key, want in case["metrics"].items():
+            got = m[key]
+            np.testing.assert_allclose(
+                np.asarray(got, np.float64), np.asarray(want, np.float64),
+                rtol=1e-9, atol=1e-12, err_msg=f"case {ci} metric {key}",
+            )
