@@ -134,3 +134,29 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(restored)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sox_chain_augmentator():
+    """The sox-style chain (ref Data.py:652-746 rebuilt on scipy): shape/
+    dtype preserved, finite output, deterministic under a seeded rng, and
+    the bypass path returns the input untouched."""
+    import random
+
+    from transkun_tpu.data.augment import AugmentatorSoxChain
+
+    x = np.random.default_rng(0).normal(size=(FS, 2)).astype(np.float32) * 0.1
+    aug = AugmentatorSoxChain(sampleRate=FS, rng=random.Random(3))
+    np.random.seed(7)
+    y1 = aug(x)
+    assert y1.shape == x.shape and y1.dtype == np.float32
+    assert np.isfinite(y1).all()
+    assert not np.allclose(y1, x)  # something actually happened
+
+    aug2 = AugmentatorSoxChain(sampleRate=FS, rng=random.Random(3))
+    np.random.seed(7)
+    y2 = aug2(x)
+    np.testing.assert_array_equal(y1, y2)
+
+    # byPassProb=1 -> identity
+    aug3 = AugmentatorSoxChain(sampleRate=FS, byPassProb=1.0, rng=random.Random(0))
+    np.testing.assert_array_equal(aug3(x), x)

@@ -117,6 +117,148 @@ class AugmentatorPitchShiftOnly:
         return np.stack(channels, axis=1)
 
 
+def _sample_range(rng, lo, hi, log=False, triangular=False):
+    if triangular:
+        return rng.triangular(lo, hi, (lo + hi) / 2)
+    if log:
+        return math.exp(rng.uniform(math.log(lo), math.log(hi)))
+    return rng.uniform(lo, hi)
+
+
+def _schroeder_reverb(x, fs, reverberance, room_scale, pre_delay_ms):
+    """Freeverb-style reverb (sox ``reverb`` is freeverb): 8 parallel combs
+    + 2 series allpasses, comb delays scaled by room_scale, feedback mapped
+    from reverberance.  An approximation of sox's DSP — augmentation noise,
+    not a parity target."""
+    from scipy.signal import lfilter
+
+    comb_ms = np.array([25.3, 26.9, 28.9, 30.7, 32.2, 33.8, 35.3, 36.7])
+    scale = 0.4 + 0.6 * room_scale / 100.0
+    feedback = 0.7 + 0.28 * reverberance / 100.0
+    wet = np.zeros_like(x)
+    for ms in comb_ms * scale:
+        d = max(1, int(fs * ms / 1000))
+        b = np.zeros(d + 1)
+        b[d] = 1.0
+        a = np.zeros(d + 1)
+        a[0] = 1.0
+        a[d] = -feedback
+        wet += lfilter(b, a, x)
+    wet /= len(comb_ms)
+    for ms in (5.0, 1.7):
+        d = max(1, int(fs * ms / 1000))
+        g = 0.5
+        b = np.zeros(d + 1)
+        b[0] = -g
+        b[d] = 1.0
+        a = np.zeros(d + 1)
+        a[0] = 1.0
+        a[d] = -g
+        wet = lfilter(b, a, wet)
+    pre = int(fs * pre_delay_ms / 1000)
+    if pre > 0:
+        wet = np.concatenate([np.zeros(pre, np.float32), wet[: len(x) - pre]])
+    return wet.astype(np.float32)
+
+
+class AugmentatorSoxChain:
+    """The reference's sox-based chain (ref ``Augmentator``,
+    ``Data.py:652-746``), rebuilt on scipy/numpy (sox unavailable): triangular
+    pitch shift, freeverb-style reverb (reverberance/room-scale/pre-delay),
+    4 random peaking EQs (log-uniform 32-12000 Hz, q 1-4, gain -10..5 dB),
+    sine-shaping "contrast" compression, additive Gaussian noise, log-uniform
+    gain, clipping — each stage bypassed with probability ``byPassProb``,
+    matching the reference's per-stage gating.  Kept for capability parity;
+    the reference's own train.py uses the audiomentations chain
+    (``Augmentator`` here)."""
+
+    def __init__(
+        self,
+        sampleRate: int,
+        pitchShiftRange=(-0.3, 0.3),
+        reverbRange=(0, 70),
+        reverbRoomScale=(0, 100),
+        reverbPreDelay=(0, 100),
+        freqRange1=(32, 12000),
+        width_q1=(1, 4),
+        gain_db1=(-10, 5),
+        noiseGain=(0, 0.01),
+        contrastRange=(0, 100),
+        gainRange=(0.25, 4),
+        byPassProb: float = 0.1,
+        rng: Optional[random.Random] = None,
+    ):
+        self.fs = sampleRate
+        self.pitchShiftRange = pitchShiftRange
+        self.reverbRange = reverbRange
+        self.reverbRoomScale = reverbRoomScale
+        self.reverbPreDelay = reverbPreDelay
+        self.eqFreqRange = freqRange1
+        self.eqWidthRange = width_q1
+        self.eqGainRange = gain_db1
+        self.noiseGain = noiseGain
+        self.contrastRange = contrastRange
+        self.gainRange = gainRange
+        self.byPassProb = byPassProb
+        self.rng = rng or random.Random()
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        r = self.rng
+        if r.random() < self.byPassProb:
+            return x
+        n_sample, n_ch = x.shape
+        out = np.array(x, np.float32)
+
+        shift = _sample_range(r, *self.pitchShiftRange, triangular=True)
+        for c in range(n_ch):
+            out[:, c] = pitch_shift(out[:, c], shift, self.fs)
+
+        reverb_amount = _sample_range(r, *self.reverbRange)
+        room = _sample_range(r, *self.reverbRoomScale)
+        predelay = _sample_range(r, *self.reverbPreDelay)
+        if reverb_amount > 0 and r.random() > self.byPassProb:
+            for c in range(n_ch):
+                wet = _schroeder_reverb(
+                    out[:, c], self.fs, reverb_amount, room, predelay
+                )
+                w = reverb_amount / 100.0
+                out[:, c] = (1 - 0.5 * w) * out[:, c] + 0.5 * w * wet
+
+        for _ in range(4):
+            f0 = _sample_range(r, *self.eqFreqRange, log=True)
+            q = _sample_range(r, *self.eqWidthRange)
+            gain = _sample_range(r, *self.eqGainRange)
+            if r.random() > self.byPassProb and f0 < self.fs / 2:
+                for c in range(n_ch):
+                    out[:, c] = peaking_eq(out[:, c], self.fs, f0, gain, q)
+
+        if r.random() > self.byPassProb:
+            # sox ``contrast``: sine-shaping loudness enhancement
+            amount = _sample_range(r, *self.contrastRange)
+            out = np.sin(
+                np.clip(out, -1, 1) * (math.pi / 2) * (1 + amount / 750.0)
+            ).astype(np.float32)
+
+        noise_gain = _sample_range(r, *self.noiseGain)
+        gain = _sample_range(r, *self.gainRange, log=True)
+        if r.random() < self.byPassProb:
+            noise_gain = 0.0
+        out = out + noise_gain * np.random.normal(0.0, 1.0, out.shape).astype(
+            np.float32
+        )
+        out = out * gain
+        if r.random() > self.byPassProb:
+            out = np.clip(out, -1, 1)
+
+        out = out.astype(np.float32)
+        if out.shape[0] != n_sample:
+            if out.shape[0] > n_sample:
+                out = out[:n_sample]
+            else:
+                out = np.pad(out, ((0, n_sample - out.shape[0]), (0, 0)))
+        return out
+
+
 class Augmentator:
     """The audiomentations-equivalent augmentation chain; input/output
     float32 [nSample, nChannel]."""
