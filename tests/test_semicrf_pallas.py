@@ -47,3 +47,47 @@ def test_logz_gradients_match_scan(rng):
     gs = jax.grad(lambda a, b: semicrf.log_z(a, b).sum(), argnums=(0, 1))(s, n)
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-3)
+
+
+@pytest.mark.parametrize("t,nb", [(10, 3), (40, 7)])
+def test_beta_table_matches_scan(rng, t, nb):
+    """The column-stripe beta kernel equals the scan flip-trick backward."""
+    s = jnp.asarray(rng.normal(size=(t, t, nb)).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=(t - 1, nb)).astype(np.float32))
+    _, _, q_scan = semicrf._forward_backward(s, n)
+    _, _, q_pallas = sp._forward_backward(s, n)
+    np.testing.assert_allclose(np.asarray(q_pallas), np.asarray(q_scan), atol=2e-4)
+
+
+def _pad_like_producer(s, n_noise, t_pad, nb_pad):
+    """NEG-pad score + zero-pad noise the way the fused scorer emission does."""
+    t, _, nb = s.shape
+    s_pad = jnp.pad(
+        s, ((0, t_pad - t), (0, t_pad - t), (0, nb_pad - nb)),
+        constant_values=sp.NEG,
+    )
+    noise_pad = jnp.pad(n_noise, ((0, t_pad - t + 1), (0, nb_pad - nb)))
+    return s_pad, noise_pad
+
+
+def test_log_z_padded_matches_unpadded(rng):
+    """log_z_padded on producer-padded inputs == scan log_z on real inputs,
+    value and gradients; padded-lane logZ is exactly 0."""
+    t, nb = 21, 5
+    t_pad, nb_pad = 24, 128  # the kernels require full lane blocks
+    s = jnp.asarray(rng.normal(size=(t, t, nb)).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=(t - 1, nb)).astype(np.float32))
+
+    def padded_sum(a, b):
+        s_pad, noise_pad = _pad_like_producer(a, b, t_pad, nb_pad)
+        lz = sp.log_z_padded(t, s_pad, noise_pad)
+        return lz[:nb].sum(), lz
+
+    (_, lz_pad), gp = jax.value_and_grad(padded_sum, argnums=(0, 1), has_aux=True)(s, n)
+    lz_ref, gs = jax.value_and_grad(
+        lambda a, b: semicrf.log_z(a, b).sum(), argnums=(0, 1)
+    )(s, n)
+    np.testing.assert_allclose(np.asarray(lz_pad[:nb]).sum(), float(lz_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lz_pad[nb:]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-3)

@@ -179,6 +179,37 @@ def test_quantile_clip_matches_reference_movingbuffer(rng):
         values.append(float(v))
 
 
+def test_fused_log_prob_matches_unfused(rng):
+    """The fused training path (alpha-layout padded score emission +
+    pre-padded logZ) must equal the unfused einsum+transpose path, value and
+    parameter gradients."""
+    from transkun_tpu.models.transkun import log_prob_padded
+
+    conf = ModelConfig.from_dict(TINY)
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=64)
+    frames, labels = _batch(2, rng)
+
+    def loss(p, fused):
+        logp = log_prob_padded(
+            model.module, p, frames, labels, deterministic=True, fused=fused
+        )
+        return logp.sum(), logp
+
+    (lf, logp_f), gf = jax.value_and_grad(loss, has_aux=True)(params, True)
+    (lu, logp_u), gu = jax.value_and_grad(loss, has_aux=True)(params, False)
+    np.testing.assert_allclose(np.asarray(logp_f), np.asarray(logp_u), atol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gf)[0],
+        jax.tree_util.tree_flatten_with_path(gu)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_weight_decay_mask():
     from transkun_tpu.train import weight_decay_mask
 

@@ -320,3 +320,46 @@ class ScaledInnerProductIntervalScorer(nn.Module):
         s_t = s_t.reshape(t_pad, t_pad, nb)
         noise = jnp.zeros((t_pad, nb), jnp.float32)
         return s_t, noise, diag_t.reshape(t_pad, nb).astype(jnp.float32)
+
+    def train_scores(
+        self, ctx: Array, t_pad: int, p_pad: int
+    ) -> Tuple[Array, Array]:
+        """Training-layout scores: the alpha-layout [end, begin, N*p_pad]
+        tensor, already padded and NEG-masked for the Pallas alpha/beta logZ
+        kernels (``semicrf.log_z_padded_best``) and ``eval_path_padded`` —
+        the counterpart of ``decode_scores`` for the training objective.
+        The length scale, diagonal add, and padding mask all fuse into the
+        einsum epilogue, so the score tensor is written exactly once per
+        train step (it dominates HBM traffic at flagship shape).
+
+        Returns (s_pad [t_pad, t_pad, N*p_pad], noise [t_pad, N*p_pad] zeros
+        — the V2 noise-score design choice, ref ``LayersTransformer.py:436``).
+        """
+        from ..ops.semicrf import NEG
+
+        q, k, diag = self._qkd(ctx)  # [N, P, T, E], diag [N, P, T, 1]
+        n, p, t, _ = q.shape
+        q = jnp.pad(q, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
+        s = jnp.einsum(
+            "iped,ipbd->ebip", q, k,
+            preferred_element_type=self.score_dtype or jnp.float32,
+        )  # [end, begin, N, Pp]
+        idx = jnp.arange(t_pad)
+        len_eb = jnp.abs(idx[:, None] - idx[None, :]).astype(s.dtype)
+        s = self._length_scale(s, len_eb[:, :, None, None])
+        diag_pad = jnp.pad(
+            diag[..., 0], ((0, 0), (0, p_pad - p), (0, t_pad - t))
+        )  # [N, Pp, Tp]
+        diag_t = jnp.transpose(diag_pad, (2, 0, 1))  # [Tp, N, Pp]
+        eye = jnp.eye(t_pad, dtype=bool)
+        s = jnp.where(
+            eye[:, :, None, None], s + diag_t[:, None].astype(s.dtype), s
+        )
+        valid = (idx[:, None] < t) & (idx[None, :] < t)
+        track_valid = jnp.arange(p_pad)[None, None, None, :] < p
+        s = jnp.where(valid[:, :, None, None] & track_valid, s, NEG)
+        nb = n * p_pad
+        s = s.reshape(t_pad, t_pad, nb)
+        noise = jnp.zeros((t_pad, nb), jnp.float32)
+        return s, noise

@@ -196,6 +196,20 @@ class TransKunModule(nn.Module):
         s_t, noise, diag = self.scorer.decode_scores(ctx, t_pad, p_pad)
         return s_t, noise, diag, ctx
 
+    def process_frames_train(
+        self, frames: Array, t_pad: int, p_pad: int, deterministic: bool = False
+    ) -> Tuple[Array, Array, Array]:
+        """Training-layout forward: (s_pad [t_pad,t_pad,N*p_pad] alpha-layout
+        + NEG-padded for the Pallas logZ kernels, noise [t_pad, N*p_pad],
+        ctx [N,P,T,D]).  Writes the score tensor exactly once (see
+        ``ScaledInnerProductIntervalScorer.train_scores``)."""
+        assert self.conf.useInnerProductScorer
+        features = self.frontend(frames)
+        pitches = jnp.asarray(target_midi_pitches(), jnp.float32)
+        ctx = self.backbone(features, pitches, deterministic)
+        s_pad, noise = self.scorer.train_scores(ctx, t_pad, p_pad)
+        return s_pad, noise, ctx
+
     def boundary_offset_presence(self, ctx: Array, n_edge: int) -> Array:
         """Offset-presence bits for every interval ending in the last
         ``n_edge`` frames: [N, P, T, n_edge] bool, entry (b, j) = presence of
@@ -236,6 +250,17 @@ def _gather_ctx(ctx: Array, idx: Array) -> Array:
     return jnp.take_along_axis(ctx, idx[..., None], axis=2)
 
 
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _track_pad(n: int, p: int, lane: int = 128) -> int:
+    """Smallest p_pad >= p such that n * p_pad is a multiple of ``lane``
+    (the Pallas kernels' lane-block size)."""
+    step = lane // math.gcd(n, lane)
+    return _pad_to(p, step)
+
+
 def log_prob_padded(
     module: TransKunModule,
     params,
@@ -243,26 +268,56 @@ def log_prob_padded(
     labels: Tuple[Array, ...],
     rngs: Optional[dict] = None,
     deterministic: bool = True,
+    fused: Optional[bool] = None,
 ) -> Array:
     """Training objective: per-track log-probability [N, P]
     (ref ``log_prob``, ``ModelTransformer.py:228-332``), fully static-shaped.
 
     labels = (begins, ends, mask, velocity, refine, presence), all [N, P, K*].
+
+    With the inner-product scorer the score tensor is emitted directly in the
+    padded alpha layout (``process_frames_train``) and fed to the pre-padded
+    logZ path — one HBM write of the [T,T,NB] tensor instead of einsum +
+    transpose + pad + flip-concat passes.  ``fused`` overrides the automatic
+    routing (tests compare both paths).
     """
     begins, ends, mask, velocity, refine, presence = labels
     n, p, k = begins.shape
-    s, noise, ctx = module.apply(
-        params,
-        frames,
-        deterministic,
-        method=TransKunModule.process_frames,
-        rngs=rngs,
-    )
-    path = semicrf.eval_path_padded(
-        s, noise, begins.reshape(n * p, k), ends.reshape(n * p, k), mask.reshape(n * p, k)
-    )
-    logz = semicrf.log_z_best(s, noise)
-    logp = (path - logz).reshape(n, p)
+    if fused is None:
+        fused = module.conf.useInnerProductScorer
+    if fused:
+        t = frames.shape[2]
+        t_pad, p_pad = _pad_to(t, 8), _track_pad(n, p)
+        s_pad, noise_pad, ctx = module.apply(
+            params,
+            frames,
+            t_pad,
+            p_pad,
+            deterministic,
+            method=TransKunModule.process_frames_train,
+            rngs=rngs,
+        )
+        pad_p = ((0, 0), (0, p_pad - p), (0, 0))
+        b_p = jnp.pad(begins, pad_p).reshape(n * p_pad, k)
+        e_p = jnp.pad(ends, pad_p).reshape(n * p_pad, k)
+        m_p = jnp.pad(mask, pad_p).reshape(n * p_pad, k)
+        path = semicrf.eval_path_padded(s_pad, noise_pad[:-1], b_p, e_p, m_p)
+        logz = semicrf.log_z_padded_best(t, s_pad, noise_pad)
+        logp = (path - logz).reshape(n, p_pad)[:, :p]
+    else:
+        s, noise, ctx = module.apply(
+            params,
+            frames,
+            deterministic,
+            method=TransKunModule.process_frames,
+            rngs=rngs,
+        )
+        path = semicrf.eval_path_padded(
+            s, noise, begins.reshape(n * p, k), ends.reshape(n * p, k),
+            mask.reshape(n * p, k),
+        )
+        logz = semicrf.log_z_best(s, noise)
+        logp = (path - logz).reshape(n, p)
 
     ctx_a = _gather_ctx(ctx, begins)
     ctx_b = _gather_ctx(ctx, ends)

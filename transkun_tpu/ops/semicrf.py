@@ -196,6 +196,22 @@ def viterbi_backward_tables_best(score: Array, noise: Array):
     return viterbi_backward_tables(score, noise)
 
 
+def log_z_padded_best(t_real: int, s_pad: Array, noise_pad: Array) -> Array:
+    """logZ from pre-padded, pre-NEG-masked inputs (the fused training path:
+    the producer writes the [Tp,Tp,NBp] score tensor exactly once).
+
+    s_pad [Tp,Tp,NBp] alpha layout (end, begin, lane), padded entries NEG;
+    noise_pad [Tp,NBp] with row t = noise[t] (rows >= t_real-1 zero).
+    Returns [NBp]; padded lanes (all-NEG score) yield logZ = 0.
+    """
+    if _use_pallas():
+        from . import semicrf_pallas
+
+        return semicrf_pallas.log_z_padded(t_real, s_pad, noise_pad)
+    # scan fallback: the padded DP is an exact extension of the real one
+    return log_z(s_pad, noise_pad[:-1])
+
+
 # ---------------------------------------------------------------------------
 # Path scoring
 # ---------------------------------------------------------------------------
