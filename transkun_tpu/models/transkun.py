@@ -528,6 +528,11 @@ class TransKun:
         velocity criterion (ref ``transcribeFrames``, ``:590-645``)."""
         ctx_a = _gather_ctx(ctx, begins)
         ctx_b = _gather_ctx(ctx, ends)
+        return self._attr_from_pairs(params, ctx_a, ctx_b, criterion)
+
+    def _attr_from_pairs(self, params, ctx_a, ctx_b, criterion):
+        """Attribute heads + velocity criterion on pre-gathered endpoint
+        context pairs (any batch shape)."""
         vel_logits, of_value, of_presence = self.module.apply(
             params, ctx_a, ctx_b, True, method=TransKunModule.attributes
         )
@@ -749,6 +754,8 @@ class TransKun:
         n_sym = len(self.targetMIDIPitch)
         use_ip = self.conf.useInnerProductScorer
 
+        if seg_audio.dtype == jnp.int16:  # link-compressed audio (transcribe)
+            seg_audio = seg_audio.astype(jnp.float32) / 32768.0
         frames = frontend.make_frame(seg_audio, hop, win)
         n = frames.shape[0]
         t = frontend.num_frames(seg_audio.shape[-1], hop)
@@ -816,6 +823,7 @@ class TransKun:
         last_frame_idx: int,
         step_frames: int,
         k_max: int = 128,
+        k_budget: int = 8192,
     ):
         """Fully-fused streaming group program: raw segment audio + the
         group's forcedStartPos -> compact per-event tensors + the NEXT
@@ -827,72 +835,174 @@ class TransKun:
         the host link and consecutive groups chain device-to-device.  This
         is the TPU-first replacement for the reference's per-segment
         host loop (``ModelTransformer.py:758-791``).
+
+        Decoded events are COMPACTED on device into a ``k_budget``-entry
+        buffer (prefix-sum scatter) before the attribute heads run and
+        before anything is fetched: the link carries ~25 KB per group
+        instead of ~1 MB of [B, P, k_max]-padded tensors, and the attribute
+        MLPs run on real events only.  ``count > k_budget`` raises the
+        overflow flag (the caller falls back to the host-walk path,
+        identical results).
         """
-        key = ("fused_group", last_frame_idx, step_frames, k_max)
+        key = ("fused_group", last_frame_idx, step_frames, k_max, k_budget)
         if key not in self._decode_fn:
-            n_sym = len(self.targetMIDIPitch)
 
             @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
             def fn(params, seg_audio, start_pos, criterion="hamming",
                    onset_bound=-1):
-                ptr, diag, bpres, ctx = self._decode_tables_traced(
-                    params, seg_audio, last_frame_idx
-                )
-                n = seg_audio.shape[0]
-                t = diag.shape[0]
-                n_edge = bpres.shape[-1]
-                k_range = jnp.arange(k_max, dtype=jnp.int32)
-
-                seg_begins, seg_ends, seg_valid, seg_overflow = [], [], [], []
-                start = start_pos.astype(jnp.int32)
-                for gi in range(n):
-                    cols = slice(gi * n_sym, (gi + 1) * n_sym)
-                    b, e, cnt, ovf = semicrf.walk_backward_device(
-                        ptr[:, cols], diag[:, cols], start, k_max
-                    )
-                    valid = k_range[None, :] < cnt[:, None]
-                    if onset_bound >= 0:
-                        valid = valid & (b < onset_bound)
-                    # lastP: end of the last event whose offset is real —
-                    # interior, or presence-confirmed at the segment edge
-                    # (ref ``ModelTransformer.py:713-721``)
-                    bp_seg = bpres[gi]  # [P, T(begin), n_edge]
-                    bp_b = jnp.take_along_axis(bp_seg, b[:, :, None], axis=1)
-                    edge = jnp.clip(e - last_frame_idx, 0, n_edge - 1)
-                    bp = jnp.take_along_axis(bp_b, edge[:, :, None], axis=2)[
-                        ..., 0
-                    ]
-                    ok = (e < last_frame_idx) | bp
-                    # decoded ends are increasing per track -> max == last
-                    lastp = jnp.max(
-                        jnp.where(valid & ok, e, 0), axis=-1, initial=0
-                    )
-                    seg_begins.append(b)
-                    seg_ends.append(e)
-                    seg_valid.append(valid)
-                    seg_overflow.append(jnp.any(ovf))
-                    start = jnp.maximum(lastp - step_frames, 0)
-
-                begins = jnp.stack(seg_begins)  # [n, P, K]
-                ends = jnp.stack(seg_ends)
-                valid = jnp.stack(seg_valid)
-                overflow = jnp.any(jnp.stack(seg_overflow))
-                velocity, of, pres = self._attr_readout(
-                    params, ctx, begins, ends, criterion
-                )
-                return (
-                    begins.astype(jnp.int16),
-                    ends.astype(jnp.int16),
-                    valid,
-                    velocity,  # int32 (argmax criteria) or f32 (mse)
-                    of.astype(jnp.float32),
-                    pres,
-                    start,  # next group's forcedStartPos, stays on device
-                    overflow,
+                return self._fused_group_traced(
+                    params, seg_audio, start_pos, criterion, onset_bound,
+                    last_frame_idx, step_frames, k_max, k_budget,
                 )
 
             self._decode_fn[key] = fn
         return self._decode_fn[key]
+
+    def _get_fused_chunk_fn(
+        self,
+        last_frame_idx: int,
+        step_frames: int,
+        segment_size: int,
+        step_size: int,
+        segment_batch: int,
+        k_max: int = 128,
+        k_budget: int = 8192,
+    ):
+        """Chunk-streaming variant of the fused group program: takes two
+        adjacent fixed-size audio chunks (each ``segment_batch * step_size``
+        samples) instead of pre-sliced segments, and carves the group's
+        overlapping segment windows out of their device-side concatenation.
+
+        This lets the caller upload the waveform chunk-by-chunk with async
+        ``device_put`` while earlier groups compute — upload and compute
+        overlap with ZERO duplicated bytes on the link (the 2x window overlap
+        is materialized on device, not on the wire)."""
+        key = (
+            "fused_chunk", last_frame_idx, step_frames, segment_size,
+            step_size, segment_batch, k_max, k_budget,
+        )
+        if key not in self._decode_fn:
+            rel = np.arange(segment_batch, dtype=np.int32) * step_size
+            chunk_len = segment_batch * step_size
+            cover = chunk_len + segment_size  # last window's right edge
+
+            @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
+            def fn(params, start_pos, *chunks, criterion="hamming",
+                   onset_bound=-1):
+                audio_cat = jnp.concatenate(list(chunks), axis=-1)[..., :cover]
+                seg_audio = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice_in_dim(
+                        audio_cat, s, segment_size, axis=-1
+                    )
+                )(jnp.asarray(rel))
+                return self._fused_group_traced(
+                    params, seg_audio, start_pos, criterion, onset_bound,
+                    last_frame_idx, step_frames, k_max, k_budget,
+                )
+
+            self._decode_fn[key] = fn
+        return self._decode_fn[key]
+
+    def _fused_group_traced(
+        self,
+        params,
+        seg_audio,
+        start_pos,
+        criterion: str,
+        onset_bound: int,
+        last_frame_idx: int,
+        step_frames: int,
+        k_max: int,
+        k_budget: int,
+    ):
+        n_sym = len(self.targetMIDIPitch)
+        ptr, diag, bpres, ctx = self._decode_tables_traced(
+            params, seg_audio, last_frame_idx
+        )
+        n = seg_audio.shape[0]
+        t = diag.shape[0]
+        n_edge = bpres.shape[-1]
+        k_range = jnp.arange(k_max, dtype=jnp.int32)
+
+        seg_begins, seg_ends, seg_valid, seg_overflow = [], [], [], []
+        start = start_pos.astype(jnp.int32)
+        for gi in range(n):
+            cols = slice(gi * n_sym, (gi + 1) * n_sym)
+            b, e, cnt, ovf = semicrf.walk_backward_device(
+                ptr[:, cols], diag[:, cols], start, k_max
+            )
+            valid = k_range[None, :] < cnt[:, None]
+            if onset_bound >= 0:
+                valid = valid & (b < onset_bound)
+            # lastP: end of the last event whose offset is real —
+            # interior, or presence-confirmed at the segment edge
+            # (ref ``ModelTransformer.py:713-721``)
+            bp_seg = bpres[gi]  # [P, T(begin), n_edge]
+            bp_b = jnp.take_along_axis(bp_seg, b[:, :, None], axis=1)
+            edge = jnp.clip(e - last_frame_idx, 0, n_edge - 1)
+            bp = jnp.take_along_axis(bp_b, edge[:, :, None], axis=2)[
+                ..., 0
+            ]
+            ok = (e < last_frame_idx) | bp
+            # decoded ends are increasing per track -> max == last
+            lastp = jnp.max(
+                jnp.where(valid & ok, e, 0), axis=-1, initial=0
+            )
+            seg_begins.append(b)
+            seg_ends.append(e)
+            seg_valid.append(valid)
+            seg_overflow.append(jnp.any(ovf))
+            start = jnp.maximum(lastp - step_frames, 0)
+
+        begins = jnp.stack(seg_begins)  # [n, P, K]
+        ends = jnp.stack(seg_ends)
+        valid = jnp.stack(seg_valid)
+        overflow = jnp.any(jnp.stack(seg_overflow))
+
+        # device-side compaction: scatter the valid events into a
+        # fixed budget buffer by their prefix-sum position; invalid
+        # slots collide harmlessly on the scratch row k_budget
+        flatv = valid.reshape(-1)
+        pos = jnp.cumsum(flatv.astype(jnp.int32)) - 1
+        count = jnp.sum(flatv.astype(jnp.int32))
+        slot = jnp.where(flatv, pos, k_budget)
+        src = (
+            jnp.full((k_budget + 1,), -1, jnp.int32)
+            .at[slot]
+            .set(jnp.arange(flatv.shape[0], dtype=jnp.int32))
+        )
+        cb = (
+            jnp.zeros((k_budget + 1,), jnp.int32)
+            .at[slot]
+            .set(begins.reshape(-1))
+        )
+        ce = (
+            jnp.zeros((k_budget + 1,), jnp.int32)
+            .at[slot]
+            .set(ends.reshape(-1))
+        )
+        # attribute heads on real events only: gather the endpoint
+        # contexts straight from the compact indices
+        row = jnp.maximum(src, 0) // k_max  # flat (segment, track)
+        ctx_flat = ctx.reshape(n * n_sym, ctx.shape[2], ctx.shape[3])
+        ctx_a = ctx_flat[row, cb]  # [k_budget+1, D]
+        ctx_b = ctx_flat[row, ce]
+        velocity, of, pres = self._attr_from_pairs(
+            params, ctx_a, ctx_b, criterion
+        )
+        overflow = overflow | (count > k_budget)
+        return (
+            src,
+            cb.astype(jnp.int16),
+            ce.astype(jnp.int16),
+            velocity,  # int32 (argmax criteria) or f32 (mse)
+            of.astype(jnp.float32),
+            pres,
+            count,
+            start,  # next group's forcedStartPos, stays on device
+            overflow,
+        )
+
 
     def _get_slice_fn(self, n_total: int, segment_size: int):
         key = ("slice", n_total, segment_size)
@@ -1011,6 +1121,16 @@ class TransKun:
             step_in_second = self.segmentHopSizeInSecond
             segment_size_in_second = self.segmentSizeInSecond
 
+        import os
+        import time as _time
+
+        _timing = bool(os.environ.get("TRANSKUN_TPU_TIMING"))
+        _marks: List[Tuple[str, float]] = [("begin", _time.time())]
+
+        def _mark(label: str):
+            if _timing:
+                _marks.append((label, _time.time()))
+
         x = np.asarray(x).T  # [C, nSample]
         pad_time_begin = segment_size_in_second - step_in_second
         pad = math.ceil(pad_time_begin * self.fs)
@@ -1026,14 +1146,6 @@ class TransKun:
         last_frame_idx = round(segment_size / self.hopSize)
         onset_bound = step_size if discard_second_half else None
 
-        # audio crosses the host->device link exactly once; a right guard pad
-        # of one segment keeps every dynamic slice in bounds (tail segments
-        # read zeros, matching the reference's zero-padded final windows)
-        dev_audio = jax.device_put(
-            np.pad(x, ((0, 0), (0, segment_size))).astype(np.float32)
-        )
-        slice_fn = self._get_slice_fn(dev_audio.shape[-1], segment_size)
-
         starts = list(range(0, n_sample, step_size))
         step_frames = int(step_size / self.hopSize)
         n_sym = len(self.targetMIDIPitch)
@@ -1042,6 +1154,44 @@ class TransKun:
             starts[g0 : g0 + segment_batch]
             for g0 in range(0, len(starts), segment_batch)
         ]
+        n_groups = len(groups)
+
+        # The waveform streams to the device in per-group chunks with async
+        # device_put, so the upload (the single largest cost of streaming
+        # transcription on a slow link) overlaps earlier groups' compute.
+        # Each group's overlapping segment windows are carved on DEVICE from
+        # two adjacent chunks — no byte crosses the link twice.  When the
+        # waveform is int16-exact (every decoded wav/mp3 is), chunks ship as
+        # int16 and dequantize on device, halving the link traffic.
+        if x.dtype == np.int16:
+            link = x
+        else:
+            xi = np.round(x * x.dtype.type(32768.0))
+            if np.abs(xi).max(initial=0.0) <= 32767 and np.array_equal(
+                xi / x.dtype.type(32768.0), x
+            ):
+                link = xi.astype(np.int16)
+            else:
+                link = x.astype(np.float32)
+        _mark("quantize_check")
+        chunk_len = segment_batch * step_size
+        # chunks needed beyond a group's own to cover its last 16 s window
+        n_extra = -(-segment_size // chunk_len)
+        n_chunks = n_groups + n_extra
+        chunk_host = np.zeros(
+            (n_chunks, link.shape[0], chunk_len), link.dtype
+        )
+        avail = link.shape[-1]
+        for k in range(n_chunks):
+            lo = k * chunk_len
+            hi = min(lo + chunk_len, avail)
+            if hi > lo:
+                chunk_host[k, :, : hi - lo] = link[:, lo:hi]
+        dev_chunks: List[Optional[Array]] = [None] * n_chunks
+
+        def ensure_chunk(j: int):
+            if 0 <= j < n_chunks and dev_chunks[j] is None:
+                dev_chunks[j] = jax.device_put(chunk_host[j])
 
         def consume_group(group, group_events):
             for i, cur_events in zip(group, group_events):
@@ -1072,7 +1222,11 @@ class TransKun:
         # The legacy host-walk path remains for per-track event counts above
         # the fused program's capacity (``overflow``), falling back mid-piece
         # with identical results.
-        fused_fn = self._get_fused_group_fn(last_frame_idx, step_frames)
+        k_max, k_budget = 128, 8192
+        fused_fn = self._get_fused_chunk_fn(
+            last_frame_idx, step_frames, segment_size, step_size,
+            segment_batch, k_max, k_budget,
+        )
         ob = onset_bound if onset_bound is not None else -1
         handles: Dict[int, tuple] = {}
         starts_in: Dict[int, Array] = {}
@@ -1081,54 +1235,81 @@ class TransKun:
         def dispatch(k: int):
             nonlocal start_dev
             if k < len(groups) and k not in handles:
-                grp = groups[k]
-                sp = grp + [0] * (segment_batch - len(grp))
                 starts_in[k] = start_dev
+                for j in range(k, k + n_extra + 1):
+                    ensure_chunk(j)
                 out = fused_fn(
                     params,
-                    slice_fn(dev_audio, jnp.asarray(sp, jnp.int32)),
                     start_dev,
+                    *dev_chunks[k : k + n_extra + 1],
                     criterion=velocity_criterion,
                     onset_bound=ob,
                 )
-                start_dev = out[6]
-                for a in out[:6] + (out[7],):
+                start_dev = out[7]
+                for a in out[:7] + (out[8],):
                     try:
                         a.copy_to_host_async()
                     except Exception:
                         pass
                 handles[k] = out
 
+        # dispatch every group up front (they chain device-to-device through
+        # forcedStartPos), then fetch ALL compact results in one host
+        # round-trip — on a high-latency link each extra fetch costs a full
+        # RTT while the marginal bytes are nearly free
         fallback_from: Optional[int] = None
-        for g_idx, group in enumerate(groups):
+        for g_idx in range(len(groups)):
             dispatch(g_idx)
-            dispatch(g_idx + 1)
-            out = handles.pop(g_idx)
-            begins, ends, valid, velocity, of, pres, _, overflow = out
-            if bool(np.asarray(overflow)):
+        _mark("dispatch_all")
+        outs = [handles.pop(g_idx) for g_idx in range(len(groups))]
+        fetched = jax.device_get(
+            [(o[0], o[1], o[2], o[3], o[4], o[5], o[6], o[8]) for o in outs]
+        )
+        _mark("fetch_all")
+        for g_idx, group in enumerate(groups):
+            src, cb, ce, velocity, of, pres, count, overflow = fetched[g_idx]
+            if bool(overflow):
                 fallback_from = g_idx
                 break
+            # scatter the compact event buffer back to [B, P, K] host arrays
+            n_grp = segment_batch
+            cnt = int(count)
+            s = src[:cnt].astype(np.int64)
+            gi, gj, gk = s // (n_sym * k_max), (s // k_max) % n_sym, s % k_max
+            begins = np.zeros((n_grp, n_sym, k_max), np.int32)
+            ends = np.zeros((n_grp, n_sym, k_max), np.int32)
+            mask = np.zeros((n_grp, n_sym, k_max), bool)
+            vel_d = np.zeros((n_grp, n_sym, k_max), np.asarray(velocity).dtype)
+            of_d = np.zeros((n_grp, n_sym, k_max, 2), np.float64)
+            pres_d = np.zeros((n_grp, n_sym, k_max, 2), bool)
+            begins[gi, gj, gk] = cb[:cnt]
+            ends[gi, gj, gk] = ce[:cnt]
+            mask[gi, gj, gk] = True
+            vel_d[gi, gj, gk] = velocity[:cnt]
+            of_d[gi, gj, gk] = of[:cnt]
+            pres_d[gi, gj, gk] = pres[:cnt]
             group_events, _ = self._assemble_from_arrays(
-                np.asarray(begins, np.int32),
-                np.asarray(ends, np.int32),
-                np.asarray(valid),
-                np.asarray(velocity),
-                np.asarray(of, np.float64),
-                np.asarray(pres),
-                last_frame_idx,
+                begins, ends, mask, vel_d, of_d, pres_d, last_frame_idx
             )
             consume_group(group, group_events[: len(group)])
+            _mark(f"assemble_{g_idx}")
 
         if fallback_from is not None:
             # resume with the host-walk path from the overflowing group, with
             # the start positions the device chain carried to that point
+            guarded = np.pad(link, ((0, 0), (0, segment_size)))
+            dev_audio = jax.device_put(guarded)
+            slice_fn = self._get_slice_fn(dev_audio.shape[-1], segment_size)
+            starts_np = np.zeros((len(groups), segment_batch), np.int32)
+            for k, grp in enumerate(groups):
+                starts_np[k, : len(grp)] = grp
+            sp_all = jax.device_put(starts_np)
             start_pos = [int(v) for v in np.asarray(starts_in[fallback_from])]
             for g_idx in range(fallback_from, len(groups)):
                 group = groups[g_idx]
-                sp = group + [0] * (segment_batch - len(group))
                 group_events, group_last_p = self._transcribe_segment_group(
                     params,
-                    slice_fn(dev_audio, jnp.asarray(sp, jnp.int32)),
+                    slice_fn(dev_audio, sp_all[g_idx]),
                     len(group),
                     start_pos,
                     velocity_criterion,
@@ -1146,4 +1327,9 @@ class TransKun:
 
         events_all = [e for lst in events_by_type.values() for e in lst]
         events_all = [n for n in events_all if n.hasOffset]
+        if _timing:
+            prev = _marks[0][1]
+            for label, tt in _marks[1:]:
+                print(f"  [transcribe] {label}: +{(tt - prev) * 1e3:.1f} ms")
+                prev = tt
         return resolve_overlapping(events_all)
