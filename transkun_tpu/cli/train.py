@@ -45,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--warmupCutoff", default=500, type=int,
                         help="steps before the OneCycle schedule starts")
     parser.add_argument("--ckptEvery", default=2000, type=int)
+    parser.add_argument("--dataLoaderWorkers", default=4, type=int,
+                        help="host loader threads (reference flag parity; "
+                        "threads not processes — numpy/scipy release the GIL)")
     args = parser.parse_args(argv)
 
     from ..utils.jax_setup import setup_cache
@@ -175,7 +178,7 @@ def main(argv=None):
         # (the reference's DistributedSampler, train.py:120-124)
         loader = D.BatchLoader(
             data_iter, local_batch, shuffle=True, seed=epoch, drop_last=True,
-            rank=rank, world_size=world,
+            rank=rank, world_size=world, num_workers=args.dataLoaderWorkers,
         )
         loss_all = []
         n_chunk_samples = int(chunk * conf.fs)

@@ -31,7 +31,18 @@ def main(argv=None):
         help="segment size for streaming decode (s); default from conf",
     )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument(
+        "--device", default=None, nargs="?",
+        help="'cpu' forces host execution (reference flag parity); default: "
+        "the available accelerator",
+    )
     args = parser.parse_args(argv)
+
+    if args.device == "cpu":
+        # must be pinned before any jax backend init
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     from ..utils.jax_setup import setup_cache
 
