@@ -468,39 +468,46 @@ def walk_backward_device(
     ptr_pad = jnp.concatenate(
         [ptr.astype(jnp.int32), jnp.full((1, nb), -1, jnp.int32)], axis=0
     )
-    k_range = jnp.arange(k_max, dtype=jnp.int32)
 
-    def emit(begins, ends, k_idx, do, b_val, e_val):
-        oh = (k_range[None, :] == k_idx[:, None]) & do[:, None]
-        begins = jnp.where(oh, b_val[:, None], begins)
-        ends = jnp.where(oh, e_val[:, None], ends)
-        return begins, ends, k_idx + do.astype(jnp.int32)
-
-    def step(state, xs):
-        j, k_idx, begins, ends = state
-        sel, dg, t = xs
+    # Phase 1 — the only sequential part: chase the cursor, carrying nothing
+    # but its position ([NB] ints), and record which positions it visits.
+    # The emission bookkeeping ([NB, K] scatter per step in the earlier
+    # version) is deliberately NOT in the carry — it dominated the scan cost.
+    def step(j, xs):
+        sel, t = xs
         active = t == j
-        tt = jnp.full((nb,), t, jnp.int32)
-        # singleton first (ref backtrack order: diag checked before the move)
-        begins, ends, k_idx = emit(begins, ends, k_idx, active & dg, tt, tt)
-        take_skip = sel < 0
-        e_pos = t + 1 + sel
-        emit_i = active & (t < T - 1) & ~take_skip
-        begins, ends, k_idx = emit(begins, ends, k_idx, emit_i, tt, e_pos)
         j = jnp.where(
-            active & (t < T - 1), jnp.where(take_skip, t + 1, e_pos), j
+            active & (t < T - 1),
+            jnp.where(sel < 0, t + 1, t + 1 + sel),
+            j,
         )
-        return (j, k_idx, begins, ends), None
+        return j, active
 
-    j0 = forced_start.astype(jnp.int32)
-    k0 = jnp.zeros((nb,), jnp.int32)
-    z = jnp.zeros((nb, k_max), jnp.int32)
-    (j, k_idx, begins, ends), _ = jax.lax.scan(
+    _, visited = jax.lax.scan(
         step,
-        (j0, k0, z, z),
-        (ptr_pad, diag_pos, jnp.arange(T, dtype=jnp.int32)),
-    )
-    return begins, ends, jnp.minimum(k_idx, k_max), k_idx > k_max
+        forced_start.astype(jnp.int32),
+        (ptr_pad, jnp.arange(T, dtype=jnp.int32)),
+        unroll=8,
+    )  # visited [T, NB]
+
+    # Phase 2 — pointwise emission flags at visited positions, in walk order
+    # (singleton before interval at the same t, ref backtrack order), then a
+    # fully parallel compaction via exclusive cumsum + one-hot reduction.
+    t_col = jnp.arange(T, dtype=jnp.int32)[:, None]
+    s_do = visited & diag_pos
+    i_do = visited & (ptr_pad >= 0) & (t_col < T - 1)
+    t_b = jnp.broadcast_to(t_col, (T, nb))
+    i_end = t_b + 1 + ptr_pad
+    do = jnp.stack([s_do, i_do], axis=1).reshape(2 * T, nb)
+    b_val = jnp.stack([t_b, t_b], axis=1).reshape(2 * T, nb)
+    e_val = jnp.stack([t_b, i_end], axis=1).reshape(2 * T, nb)
+    doi = do.astype(jnp.int32)
+    k_of = jnp.cumsum(doi, axis=0) - doi  # exclusive: each event's slot
+    count = k_of[-1] + doi[-1]
+    oh = (k_of[..., None] == jnp.arange(k_max)) & do[..., None]  # [2T, NB, K]
+    begins = jnp.sum(jnp.where(oh, b_val[..., None], 0), axis=0)
+    ends = jnp.sum(jnp.where(oh, e_val[..., None], 0), axis=0)
+    return begins, ends, jnp.minimum(count, k_max), count > k_max
 
 
 # ---------------------------------------------------------------------------
