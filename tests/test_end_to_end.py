@@ -84,6 +84,35 @@ def corpus(tmp_path_factory):
     return root, meta
 
 
+def test_fused_decode_matches_fallback(corpus):
+    """The fused chunk-streamed/compacted decode path and the host-walk
+    fallback (forced via a 1-event budget overflow) must produce identical
+    note lists on the same audio."""
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    root, _ = corpus
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+    fs, audio = wavfile.read(str(root / "2020" / "piece0.wav"))
+    audio = (audio.astype(np.float32) / 32768.0)[:, None]
+
+    notes_fused = model.transcribe(params, audio)
+
+    model_fb = TransKun(conf)
+    model_fb.decode_k_budget = 1  # always overflows -> host-walk fallback
+    notes_fb = model_fb.transcribe(params, audio)
+
+    assert len(notes_fused) == len(notes_fb)
+    for a, b in zip(notes_fused, notes_fb):
+        assert a.pitch == b.pitch and a.velocity == b.velocity
+        assert abs(a.start - b.start) < 1e-9 and abs(a.end - b.end) < 1e-9
+        assert a.hasOnset == b.hasOnset and a.hasOffset == b.hasOffset
+
+
 def test_full_pipeline(corpus, tmp_path):
     root, meta = corpus
 

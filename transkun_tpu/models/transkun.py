@@ -355,6 +355,10 @@ class TransKun:
         self.targetMIDIPitch = target_midi_pitches()
         self.module = TransKunModule(conf, compute_dtype)
         self._decode_fn = {}
+        # streaming-decode capacities: per-track walk events and the
+        # per-group compact transfer budget (overflow -> host-walk fallback)
+        self.decode_k_max = 128
+        self.decode_k_budget = 8192
         self._attr_fn = None
         self._logprob_fn = None
 
@@ -1222,7 +1226,7 @@ class TransKun:
         # The legacy host-walk path remains for per-track event counts above
         # the fused program's capacity (``overflow``), falling back mid-piece
         # with identical results.
-        k_max, k_budget = 128, 8192
+        k_max, k_budget = self.decode_k_max, self.decode_k_budget
         fused_fn = self._get_fused_chunk_fn(
             last_frame_idx, step_frames, segment_size, step_size,
             segment_batch, k_max, k_budget,
