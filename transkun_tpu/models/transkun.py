@@ -356,9 +356,10 @@ class TransKun:
         self.module = TransKunModule(conf, compute_dtype)
         self._decode_fn = {}
         # streaming-decode capacities: per-track walk events and the
-        # per-group compact transfer budget (overflow -> host-walk fallback)
+        # per-group compact transfer budget (overflow -> host-walk
+        # fallback).  budget None = auto-scale with the group size.
         self.decode_k_max = 128
-        self.decode_k_budget = 8192
+        self.decode_k_budget: Optional[int] = None
         self._attr_fn = None
         self._logprob_fn = None
 
@@ -1107,7 +1108,7 @@ class TransKun:
         discard_second_half: bool = False,
         merge_incomplete_event: bool = True,
         velocity_criterion: str = "hamming",
-        segment_batch: int = 4,
+        segment_batch: Optional[int] = None,
     ) -> List[Note]:
         """Full-piece streaming transcription with exact cross-segment
         stitching (ref ``transcribe``, ``ModelTransformer.py:729-848``).
@@ -1153,6 +1154,17 @@ class TransKun:
         starts = list(range(0, n_sample, step_size))
         step_frames = int(step_size / self.hopSize)
         n_sym = len(self.targetMIDIPitch)
+
+        if segment_batch is None:
+            # pick the group size with the least padded-segment waste
+            # (padded slots cost full backbone compute); prefer the larger
+            # size on ties (fewer groups).  The jit cache holds one program
+            # per size, so a service converges to a handful of variants.
+            n_st = len(starts)
+            segment_batch = min(
+                range(4, 9),
+                key=lambda sb: (-(-n_st // sb) * sb - n_st, -sb),
+            )
 
         groups = [
             starts[g0 : g0 + segment_batch]
@@ -1226,7 +1238,12 @@ class TransKun:
         # The legacy host-walk path remains for per-track event counts above
         # the fused program's capacity (``overflow``), falling back mid-piece
         # with identical results.
-        k_max, k_budget = self.decode_k_max, self.decode_k_budget
+        k_max = self.decode_k_max
+        k_budget = (
+            self.decode_k_budget
+            if self.decode_k_budget is not None
+            else 2048 * (segment_batch + 1)
+        )
         fused_fn = self._get_fused_chunk_fn(
             last_frame_idx, step_frames, segment_size, step_size,
             segment_batch, k_max, k_budget,
