@@ -113,6 +113,33 @@ def test_fused_decode_matches_fallback(corpus):
         assert a.hasOnset == b.hasOnset and a.hasOffset == b.hasOffset
 
 
+def test_int16_link_path_is_lossless(corpus):
+    """int16-exact audio shipped over the link as int16 (device dequantize)
+    must decode to exactly the notes of the forced-f32 link path."""
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    root, _ = corpus
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+    fs, audio = wavfile.read(str(root / "2020" / "piece1.wav"))
+    audio = (audio.astype(np.float32) / 32768.0)[:, None]  # int16-exact
+
+    notes_i16 = model.transcribe(params, audio)
+    model_f32 = TransKun(conf)
+    model_f32.decode_link_int16 = False
+    notes_f32 = model_f32.transcribe(params, audio)
+
+    assert len(notes_i16) == len(notes_f32) > 0
+    for a, b in zip(notes_i16, notes_f32):
+        assert (a.pitch, a.velocity, a.start, a.end) == (
+            b.pitch, b.velocity, b.start, b.end
+        )
+
+
 def test_full_pipeline(corpus, tmp_path):
     root, meta = corpus
 

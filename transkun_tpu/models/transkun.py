@@ -360,6 +360,8 @@ class TransKun:
         # fallback).  budget None = auto-scale with the group size.
         self.decode_k_max = 128
         self.decode_k_budget: Optional[int] = None
+        # None = auto-detect int16-exact waveforms; False forces f32 link
+        self.decode_link_int16: Optional[bool] = None
         self._attr_fn = None
         self._logprob_fn = None
 
@@ -1181,6 +1183,8 @@ class TransKun:
         # int16 and dequantize on device, halving the link traffic.
         if x.dtype == np.int16:
             link = x
+        elif self.decode_link_int16 is False:
+            link = x.astype(np.float32)
         else:
             xi = np.round(x * x.dtype.type(32768.0))
             if np.abs(xi).max(initial=0.0) <= 32767 and np.array_equal(
