@@ -140,6 +140,35 @@ def test_int16_link_path_is_lossless(corpus):
         )
 
 
+def test_transcribe_many_matches_per_piece(corpus):
+    """The pipelined batch API must yield exactly the per-piece results, in
+    order."""
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    root, _ = corpus
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+
+    pieces = []
+    for i in range(3):
+        fs, audio = wavfile.read(str(root / "2020" / f"piece{i}.wav"))
+        pieces.append((audio.astype(np.float32) / 32768.0)[:, None])
+
+    batched = list(model.transcribe_many(params, iter(pieces)))
+    singles = [model.transcribe(params, p) for p in pieces]
+    assert len(batched) == len(singles) == 3
+    for nb, ns in zip(batched, singles):
+        assert len(nb) == len(ns)
+        for a, b in zip(nb, ns):
+            assert (a.pitch, a.velocity, a.start, a.end) == (
+                b.pitch, b.velocity, b.start, b.end
+            )
+
+
 def test_full_pipeline(corpus, tmp_path):
     root, meta = corpus
 

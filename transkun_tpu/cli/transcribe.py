@@ -98,14 +98,31 @@ def main(argv=None):
         )
         print(f"{len(files)} audio files")
         t0 = time.time()
-        total_audio = 0.0
-        for p in files:
+        durs = []
+
+        def read_all():
+            # lazy reader: decode/resample piece i+1 on the host while piece
+            # i's groups run on the device (transcribe_many pipelines them)
+            for p in files:
+                fs, audio = read_audio(str(p))
+                if fs != model.fs:
+                    audio = resample(audio, fs, model.fs)
+                durs.append(audio.shape[0] / model.fs)
+                yield audio
+
+        results = model.transcribe_many(
+            params,
+            read_all(),
+            step_in_second=args.segmentHopSize,
+            segment_size_in_second=args.segmentSize,
+        )
+        for p, notes in zip(files, results):
             out = pathlib.Path(args.outPath) / p.relative_to(root).with_suffix(".midi")
             out.parent.mkdir(parents=True, exist_ok=True)
-            fs, audio = read_audio(str(p))
-            total_audio += audio.shape[0] / fs
-            transcribe_one(str(p), str(out))
+            write_midi(notes, str(out))
+            print(f"wrote {len(notes)} events to {out}")
         dt = time.time() - t0
+        total_audio = sum(durs)
         print(f"RTF: {total_audio / max(dt, 1e-9):.1f}x ({total_audio:.0f}s audio in {dt:.0f}s)")
     else:
         transcribe_one(args.audioPath, args.outPath)

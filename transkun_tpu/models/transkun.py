@@ -1124,6 +1124,63 @@ class TransKun:
         ``segment_batch`` while the host walks pointers sequentially,
         producing results identical to the one-segment-at-a-time reference.
         """
+        plan = self._transcribe_dispatch(
+            params, x, step_in_second, segment_size_in_second,
+            discard_second_half, velocity_criterion, segment_batch,
+        )
+        return self._transcribe_finish(plan, merge_incomplete_event)
+
+    def transcribe_many(
+        self,
+        params,
+        pieces,
+        step_in_second: Optional[float] = None,
+        segment_size_in_second: Optional[float] = None,
+        discard_second_half: bool = False,
+        merge_incomplete_event: bool = True,
+        velocity_criterion: str = "hamming",
+        segment_batch: Optional[int] = None,
+        depth: int = 1,
+    ):
+        """Pipelined batch transcription: a generator yielding one note list
+        per piece, in order.
+
+        ``pieces`` is an iterable of waveforms (or (anything, waveform) pairs
+        read lazily).  The next piece's audio is read, quantized, and its
+        whole group chain DISPATCHED before the current piece's results are
+        fetched and assembled, so the device never idles between pieces —
+        the production serving mode the per-piece API can't reach on a
+        high-latency link.  ``depth`` pieces stay in flight.
+        """
+        from collections import deque
+
+        q = deque()
+        for item in pieces:
+            x = item[1] if isinstance(item, tuple) else item
+            q.append(
+                self._transcribe_dispatch(
+                    params, x, step_in_second, segment_size_in_second,
+                    discard_second_half, velocity_criterion, segment_batch,
+                )
+            )
+            if len(q) > depth:
+                yield self._transcribe_finish(q.popleft(), merge_incomplete_event)
+        while q:
+            yield self._transcribe_finish(q.popleft(), merge_incomplete_event)
+
+    def _transcribe_dispatch(
+        self,
+        params,
+        x: np.ndarray,
+        step_in_second: Optional[float],
+        segment_size_in_second: Optional[float],
+        discard_second_half: bool,
+        velocity_criterion: str,
+        segment_batch: Optional[int],
+    ) -> Dict[str, Any]:
+        """Phase 1 of a piece: quantize, chunk-upload, dispatch every fused
+        group program.  Returns the plan consumed by ``_transcribe_finish``;
+        nothing in here waits on the device."""
         if step_in_second is None and segment_size_in_second is None:
             step_in_second = self.segmentHopSizeInSecond
             segment_size_in_second = self.segmentSizeInSecond
@@ -1144,9 +1201,7 @@ class TransKun:
         x = np.pad(x, ((0, 0), (pad, pad)))
         n_sample = x.shape[-1]
 
-        events_by_type: Dict[int, List[Note]] = defaultdict(list)
         start_frame_idx = math.floor(pad_time_begin * self.fs / self.hopSize)
-        start_pos: List[int] = [start_frame_idx] * len(self.targetMIDIPitch)
 
         step_size = math.ceil(step_in_second * self.fs / self.hopSize) * self.hopSize
         segment_size = math.ceil(segment_size_in_second * self.fs)
@@ -1213,28 +1268,6 @@ class TransKun:
             if 0 <= j < n_chunks and dev_chunks[j] is None:
                 dev_chunks[j] = jax.device_put(chunk_host[j])
 
-        def consume_group(group, group_events):
-            for i, cur_events in zip(group, group_events):
-                begin_time = i / self.fs - pad_time_begin
-                for e in cur_events:
-                    e.start += begin_time
-                    e.end += begin_time
-                    e.start = max(e.start, 0)
-                    e.end = max(e.end, e.start)
-
-                for e in cur_events:
-                    if merge_incomplete_event and len(events_by_type[e.pitch]) > 0:
-                        last_e = events_by_type[e.pitch][-1]
-                        if e.start < last_e.end:
-                            if e.hasOnset:
-                                events_by_type[e.pitch][-1] = e
-                            else:
-                                last_e.hasOffset = e.hasOffset
-                                last_e.end = max(e.end, last_e.end)
-                            continue
-                    if e.hasOnset:
-                        events_by_type[e.pitch].append(e)
-
         # -- fast path: the whole sequential stitching chain (Viterbi tables
         # -> pointer walk -> lastP -> next forcedStartPos -> attribute
         # readout) runs on device; groups chain device-to-device and only
@@ -1279,14 +1312,78 @@ class TransKun:
                 handles[k] = out
 
         # dispatch every group up front (they chain device-to-device through
-        # forcedStartPos), then fetch ALL compact results in one host
-        # round-trip — on a high-latency link each extra fetch costs a full
+        # forcedStartPos); the fetch happens in ``_transcribe_finish`` — ONE
+        # host round-trip per piece, on a link where each fetch costs a full
         # RTT while the marginal bytes are nearly free
-        fallback_from: Optional[int] = None
         for g_idx in range(len(groups)):
             dispatch(g_idx)
         _mark("dispatch_all")
         outs = [handles.pop(g_idx) for g_idx in range(len(groups))]
+        return dict(
+            params=params,
+            outs=outs,
+            groups=groups,
+            starts_in=starts_in,
+            segment_batch=segment_batch,
+            n_sym=n_sym,
+            k_max=k_max,
+            last_frame_idx=last_frame_idx,
+            step_frames=step_frames,
+            segment_size=segment_size,
+            pad_time_begin=pad_time_begin,
+            velocity_criterion=velocity_criterion,
+            onset_bound=onset_bound,
+            link=link,
+            timing=(_timing, _marks, _mark),
+        )
+
+    def _transcribe_finish(
+        self, plan: Dict[str, Any], merge_incomplete_event: bool = True
+    ) -> List[Note]:
+        """Phase 2 of a piece: one fetch of every group's compact events,
+        host assembly + cross-segment merge (+ the host-walk fallback on
+        overflow)."""
+        params = plan["params"]
+        outs = plan["outs"]
+        groups = plan["groups"]
+        starts_in = plan["starts_in"]
+        segment_batch = plan["segment_batch"]
+        n_sym = plan["n_sym"]
+        k_max = plan["k_max"]
+        last_frame_idx = plan["last_frame_idx"]
+        step_frames = plan["step_frames"]
+        segment_size = plan["segment_size"]
+        pad_time_begin = plan["pad_time_begin"]
+        velocity_criterion = plan["velocity_criterion"]
+        onset_bound = plan["onset_bound"]
+        link = plan["link"]
+        _timing, _marks, _mark = plan["timing"]
+
+        events_by_type: Dict[int, List[Note]] = defaultdict(list)
+
+        def consume_group(group, group_events):
+            for i, cur_events in zip(group, group_events):
+                begin_time = i / self.fs - pad_time_begin
+                for e in cur_events:
+                    e.start += begin_time
+                    e.end += begin_time
+                    e.start = max(e.start, 0)
+                    e.end = max(e.end, e.start)
+
+                for e in cur_events:
+                    if merge_incomplete_event and len(events_by_type[e.pitch]) > 0:
+                        last_e = events_by_type[e.pitch][-1]
+                        if e.start < last_e.end:
+                            if e.hasOnset:
+                                events_by_type[e.pitch][-1] = e
+                            else:
+                                last_e.hasOffset = e.hasOffset
+                                last_e.end = max(e.end, last_e.end)
+                            continue
+                    if e.hasOnset:
+                        events_by_type[e.pitch].append(e)
+
+        fallback_from: Optional[int] = None
         fetched = jax.device_get(
             [(o[0], o[1], o[2], o[3], o[4], o[5], o[6], o[8]) for o in outs]
         )
