@@ -49,6 +49,31 @@ def test_logz_gradients_match_scan(rng):
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-3)
 
 
+def test_log_z_padded_backends_agree_on_noise_grad(rng):
+    """The scan fallback of log_z_padded_best must return the SAME noise
+    cotangent as the Pallas path: zero on padding rows (the padded skip
+    chain otherwise gets marginal ~1)."""
+    t, nb = 13, 3
+    t_pad, nb_pad = 16, 128
+    s = jnp.asarray(rng.normal(size=(t, t, nb)).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=(t - 1, nb)).astype(np.float32))
+    s_pad, noise_pad = _pad_like_producer(s, n, t_pad, nb_pad)
+
+    def via_pallas(nz):
+        return sp.log_z_padded(t, s_pad, nz)[:nb].sum()
+
+    def via_scan(nz):
+        return semicrf.log_z_padded_best(t, s_pad, nz)[:nb].sum()
+
+    g_pallas = jax.grad(via_pallas)(noise_pad)
+    g_scan = jax.grad(via_scan)(noise_pad)  # CPU backend -> scan fallback
+    np.testing.assert_allclose(
+        np.asarray(g_scan), np.asarray(g_pallas), atol=1e-4
+    )
+    # padding rows must be exactly zero in both
+    np.testing.assert_array_equal(np.asarray(g_scan[t - 1 :]), 0.0)
+
+
 @pytest.mark.parametrize("t,nb", [(10, 3), (40, 7)])
 def test_beta_table_matches_scan(rng, t, nb):
     """The column-stripe beta kernel equals the scan flip-trick backward."""

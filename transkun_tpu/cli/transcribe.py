@@ -32,7 +32,7 @@ def main(argv=None):
     )
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument(
-        "--device", default=None, nargs="?",
+        "--device", default=None, choices=["cpu", "tpu"],
         help="'cpu' forces host execution (reference flag parity); default: "
         "the available accelerator",
     )

@@ -51,7 +51,12 @@ def read_audio(path: str, normalize: bool = True) -> Tuple[int, np.ndarray]:
         if data.ndim == 1:
             data = data[:, np.newaxis]
         if normalize and np.issubdtype(data.dtype, np.integer):
-            data = np.divide(data, np.iinfo(data.dtype).max, dtype=np.float32)
+            # divide by 2^(bits-1), matching the reference CLI's pydub
+            # convention (``transcribe.py:15``, /2**15 for int16) — NOT by
+            # iinfo.max; this also keeps int16 wavs int16-exact so
+            # ``transcribe`` ships them over the device link as int16
+            bits = np.iinfo(data.dtype).bits
+            data = np.divide(data, 2 ** (bits - 1), dtype=np.float32)
         return fs, data.astype(np.float32)
 
     if shutil.which("ffmpeg") is None:

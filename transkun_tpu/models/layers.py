@@ -281,70 +281,30 @@ class ScaledInnerProductIntervalScorer(nn.Module):
         noise = jnp.transpose(noise, (2, 0, 1))  # [T-1, N, P]
         return s, noise
 
-    def decode_scores(
-        self, ctx: Array, t_pad: int, p_pad: int
+    def _padded_scores(
+        self, ctx: Array, t_pad: int, p_pad: int, transposed: bool
     ) -> Tuple[Array, Array, Array]:
-        """Decode-layout scores: the transposed [begin, end, N*p_pad] tensor,
-        already padded and NEG-masked for the Pallas Viterbi kernel — the
-        mask fuses into the einsum epilogue, so the [T,T,NB] tensor is
-        written exactly once instead of einsum + permute + pad + transpose
-        passes (it dominates HBM traffic at ~100 GB/s).
+        """Shared fused emission: the padded, NEG-masked score tensor written
+        exactly once, straight from the einsum epilogue (length scale, diag
+        add, and padding mask fused in — the [T,T,NB] tensor dominates HBM
+        traffic at flagship shape).
 
-        Returns (s_t [t_pad, t_pad, N*p_pad], noise [t_pad, N*p_pad] zeros,
-        diag [t_pad, N*p_pad] f32, un-gated)."""
+        transposed=False -> alpha layout [end, begin, N*p_pad] (training
+        logZ kernels); True -> decode layout [begin, end, N*p_pad] (Viterbi
+        kernel).  Returns (s, noise zeros [t_pad, N*p_pad] — the V2
+        noise-score design choice, ref ``LayersTransformer.py:436`` —
+        diag_t [Tp, N, Pp] un-gated)."""
         from ..ops.semicrf import NEG
 
         q, k, diag = self._qkd(ctx)  # [N, P, T, E], diag [N, P, T, 1]
         n, p, t, _ = q.shape
         q = jnp.pad(q, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
-        s_t = jnp.einsum(
-            "ipbd,iped->beip", k, q,
-            preferred_element_type=self.score_dtype or jnp.float32,
-        )  # [begin, end, N, Pp]
-        idx = jnp.arange(t_pad)
-        len_eb = jnp.abs(idx[:, None] - idx[None, :]).astype(s_t.dtype)
-        s_t = self._length_scale(s_t, len_eb[:, :, None, None])
-        diag_pad = jnp.pad(
-            diag[..., 0], ((0, 0), (0, p_pad - p), (0, t_pad - t))
-        )  # [N, Pp, Tp]
-        diag_t = jnp.transpose(diag_pad, (2, 0, 1))  # [Tp, N, Pp]
-        eye = jnp.eye(t_pad, dtype=bool)
-        s_t = jnp.where(
-            eye[:, :, None, None], s_t + diag_t[None].astype(s_t.dtype), s_t
-        )
-        valid = (idx[:, None] < t) & (idx[None, :] < t)
-        track_valid = jnp.arange(p_pad)[None, None, None, :] < p
-        s_t = jnp.where(valid[:, :, None, None] & track_valid, s_t, NEG)
-        nb = n * p_pad
-        s_t = s_t.reshape(t_pad, t_pad, nb)
-        noise = jnp.zeros((t_pad, nb), jnp.float32)
-        return s_t, noise, diag_t.reshape(t_pad, nb).astype(jnp.float32)
-
-    def train_scores(
-        self, ctx: Array, t_pad: int, p_pad: int
-    ) -> Tuple[Array, Array]:
-        """Training-layout scores: the alpha-layout [end, begin, N*p_pad]
-        tensor, already padded and NEG-masked for the Pallas alpha/beta logZ
-        kernels (``semicrf.log_z_padded_best``) and ``eval_path_padded`` —
-        the counterpart of ``decode_scores`` for the training objective.
-        The length scale, diagonal add, and padding mask all fuse into the
-        einsum epilogue, so the score tensor is written exactly once per
-        train step (it dominates HBM traffic at flagship shape).
-
-        Returns (s_pad [t_pad, t_pad, N*p_pad], noise [t_pad, N*p_pad] zeros
-        — the V2 noise-score design choice, ref ``LayersTransformer.py:436``).
-        """
-        from ..ops.semicrf import NEG
-
-        q, k, diag = self._qkd(ctx)  # [N, P, T, E], diag [N, P, T, 1]
-        n, p, t, _ = q.shape
-        q = jnp.pad(q, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, p_pad - p), (0, t_pad - t), (0, 0)))
+        a, c = (k, q) if transposed else (q, k)
         s = jnp.einsum(
-            "iped,ipbd->ebip", q, k,
+            "ipad,ipcd->acip", a, c,
             preferred_element_type=self.score_dtype or jnp.float32,
-        )  # [end, begin, N, Pp]
+        )  # [axis0, axis1, N, Pp]
         idx = jnp.arange(t_pad)
         len_eb = jnp.abs(idx[:, None] - idx[None, :]).astype(s.dtype)
         s = self._length_scale(s, len_eb[:, :, None, None])
@@ -353,6 +313,8 @@ class ScaledInnerProductIntervalScorer(nn.Module):
         )  # [N, Pp, Tp]
         diag_t = jnp.transpose(diag_pad, (2, 0, 1))  # [Tp, N, Pp]
         eye = jnp.eye(t_pad, dtype=bool)
+        # the added diag only matters on the eye, where axis0 == axis1, so
+        # indexing it along axis0 is correct in both layouts
         s = jnp.where(
             eye[:, :, None, None], s + diag_t[:, None].astype(s.dtype), s
         )
@@ -362,4 +324,22 @@ class ScaledInnerProductIntervalScorer(nn.Module):
         nb = n * p_pad
         s = s.reshape(t_pad, t_pad, nb)
         noise = jnp.zeros((t_pad, nb), jnp.float32)
+        return s, noise, diag_t
+
+    def decode_scores(
+        self, ctx: Array, t_pad: int, p_pad: int
+    ) -> Tuple[Array, Array, Array]:
+        """Decode-layout scores for the Pallas Viterbi kernel.
+
+        Returns (s_t [t_pad, t_pad, N*p_pad] in [begin, end, lane] layout,
+        noise [t_pad, N*p_pad] zeros, diag [t_pad, N*p_pad] f32 un-gated)."""
+        s_t, noise, diag_t = self._padded_scores(ctx, t_pad, p_pad, True)
+        return s_t, noise, diag_t.reshape(t_pad, -1).astype(jnp.float32)
+
+    def train_scores(
+        self, ctx: Array, t_pad: int, p_pad: int
+    ) -> Tuple[Array, Array]:
+        """Alpha-layout [end, begin, N*p_pad] scores for the training logZ
+        kernels (``semicrf.log_z_padded_best``) and ``eval_path_padded``."""
+        s, noise, _ = self._padded_scores(ctx, t_pad, p_pad, False)
         return s, noise

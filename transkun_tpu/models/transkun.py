@@ -254,7 +254,7 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _track_pad(n: int, p: int, lane: int = 128) -> int:
+def _track_pad(n: int, p: int, lane: int = semicrf.PALLAS_LN) -> int:
     """Smallest p_pad >= p such that n * p_pad is a multiple of ``lane``
     (the Pallas kernels' lane-block size)."""
     step = lane // math.gcd(n, lane)
@@ -287,7 +287,7 @@ def log_prob_padded(
         fused = module.conf.useInnerProductScorer
     if fused:
         t = frames.shape[2]
-        t_pad, p_pad = _pad_to(t, 8), _track_pad(n, p)
+        t_pad, p_pad = _pad_to(t, semicrf.PALLAS_KP), _track_pad(n, p)
         s_pad, noise_pad, ctx = module.apply(
             params,
             frames,
@@ -779,11 +779,8 @@ class TransKun:
                 method=TransKunModule.boundary_offset_presence,
             )
             return ptr, diag, bpres, ctx
-        t_pad = -(-t // 8) * 8
-        # pad the track axis so lanes (N * p_pad) hit a 128 multiple
-        p_pad = n_sym
-        while (n * p_pad) % 128:
-            p_pad += 1
+        t_pad = _pad_to(t, semicrf.PALLAS_KP)
+        p_pad = _track_pad(n, n_sym)
         s_t, noise, diag_raw, ctx = module.apply(
             params, frames, t_pad, p_pad, True,
             method=TransKunModule.process_frames_decode,
@@ -824,46 +821,6 @@ class TransKun:
             method=TransKunModule.boundary_offset_presence,
         )
         return ptr, diag, bpres, ctx
-
-    def _get_fused_group_fn(
-        self,
-        last_frame_idx: int,
-        step_frames: int,
-        k_max: int = 128,
-        k_budget: int = 8192,
-    ):
-        """Fully-fused streaming group program: raw segment audio + the
-        group's forcedStartPos -> compact per-event tensors + the NEXT
-        group's forcedStartPos, all on device.
-
-        The sequential stitching chain (pointer walk -> lastP -> next
-        segment's start) runs as ``walk_backward_device`` scans chained
-        INSIDE the program, so nothing but O(events) tensors ever crosses
-        the host link and consecutive groups chain device-to-device.  This
-        is the TPU-first replacement for the reference's per-segment
-        host loop (``ModelTransformer.py:758-791``).
-
-        Decoded events are COMPACTED on device into a ``k_budget``-entry
-        buffer (prefix-sum scatter) before the attribute heads run and
-        before anything is fetched: the link carries ~25 KB per group
-        instead of ~1 MB of [B, P, k_max]-padded tensors, and the attribute
-        MLPs run on real events only.  ``count > k_budget`` raises the
-        overflow flag (the caller falls back to the host-walk path,
-        identical results).
-        """
-        key = ("fused_group", last_frame_idx, step_frames, k_max, k_budget)
-        if key not in self._decode_fn:
-
-            @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
-            def fn(params, seg_audio, start_pos, criterion="hamming",
-                   onset_bound=-1):
-                return self._fused_group_traced(
-                    params, seg_audio, start_pos, criterion, onset_bound,
-                    last_frame_idx, step_frames, k_max, k_budget,
-                )
-
-            self._decode_fn[key] = fn
-        return self._decode_fn[key]
 
     def _get_fused_chunk_fn(
         self,
@@ -922,6 +879,27 @@ class TransKun:
         k_max: int,
         k_budget: int,
     ):
+        """Fully-fused streaming group program body: segment audio + the
+        group's forcedStartPos -> compact per-event tensors + the NEXT
+        group's forcedStartPos, all on device.
+
+        The sequential stitching chain (pointer walk -> lastP -> next
+        segment's start) runs as ``walk_backward_device`` scans chained
+        INSIDE the program, so nothing but O(events) tensors ever crosses
+        the host link and consecutive groups chain device-to-device — the
+        TPU-first replacement for the reference's per-segment host loop
+        (``ModelTransformer.py:758-791``).
+
+        Decoded events are COMPACTED on device into a ``k_budget``-entry
+        buffer (prefix-sum scatter) before the attribute heads run and
+        before anything is fetched: the link carries ~100 KB per group
+        instead of ~1 MB of [B, P, k_max]-padded tensors, and the attribute
+        MLPs run on real events only.  ``count > k_budget`` (or a per-track
+        walk overflow) raises the overflow flag; the caller then redoes the
+        piece's remaining groups on the host-walk path with identical
+        results — all already-dispatched fused groups still execute and are
+        discarded, an accepted cost since auto-scaled budgets make overflow
+        rare."""
         n_sym = len(self.targetMIDIPitch)
         ptr, diag, bpres, ctx = self._decode_tables_traced(
             params, seg_audio, last_frame_idx
@@ -1240,6 +1218,11 @@ class TransKun:
             link = x
         elif self.decode_link_int16 is False:
             link = x.astype(np.float32)
+        elif self.decode_link_int16 is True:
+            # forced: quantize (clipping) even if not exactly representable
+            link = np.clip(
+                np.round(x * x.dtype.type(32768.0)), -32768, 32767
+            ).astype(np.int16)
         else:
             xi = np.round(x * x.dtype.type(32768.0))
             if np.abs(xi).max(initial=0.0) <= 32767 and np.array_equal(

@@ -43,6 +43,11 @@ Array = jax.Array
 # Large-negative instead of -inf: keeps masked lanes NaN-free under exp/grad.
 NEG = -1e30
 
+# Pallas kernel block sizes (single source of truth; semicrf_pallas and the
+# fused score producers pad to these)
+PALLAS_KP = 8  # positions per sequential DP block
+PALLAS_LN = 128  # lane block (batch*track axis)
+
 
 def _diag(score: Array) -> Array:
     """Diagonal of score[T, T, N] -> [T, N]."""
@@ -208,8 +213,13 @@ def log_z_padded_best(t_real: int, s_pad: Array, noise_pad: Array) -> Array:
         from . import semicrf_pallas
 
         return semicrf_pallas.log_z_padded(t_real, s_pad, noise_pad)
-    # scan fallback: the padded DP is an exact extension of the real one
-    return log_z(s_pad, noise_pad[:-1])
+    # scan fallback: the padded DP is an exact extension of the real one.
+    # stop_gradient on the padding rows matches the Pallas path's masked
+    # noise cotangent (padded skip steps otherwise receive marginal ~1)
+    noise = noise_pad[:-1]
+    row = jnp.arange(noise.shape[0])[:, None]
+    noise = jnp.where(row < t_real - 1, noise, jax.lax.stop_gradient(noise))
+    return log_z(s_pad, noise)
 
 
 # ---------------------------------------------------------------------------

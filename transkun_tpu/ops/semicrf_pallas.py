@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import semicrf as _scan
 
 NEG = -1e30
-LN = 128  # lane block (batch*track axis)
-KP = 8  # positions per sequential block
+LN = _scan.PALLAS_LN  # lane block (batch*track axis)
+KP = _scan.PALLAS_KP  # positions per sequential block
 
 # interpret mode lets the kernels run (slowly) on CPU for testing
 INTERPRET = False
