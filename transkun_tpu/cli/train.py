@@ -48,6 +48,11 @@ def main(argv=None):
     parser.add_argument("--dataLoaderWorkers", default=4, type=int,
                         help="host loader threads (reference flag parity; "
                         "threads not processes — numpy/scipy release the GIL)")
+    parser.add_argument("--logEvery", default=8, type=int,
+                        help="fetch/print train metrics every N steps; each "
+                        "host fetch is a device sync (~27 ms on a tunneled "
+                        "chip), so batching keeps steps async. NaN abort is "
+                        "deferred by at most N steps. 1 = per-step prints")
     args = parser.parse_args(argv)
 
     from ..utils.jax_setup import setup_cache
@@ -181,6 +186,8 @@ def main(argv=None):
             rank=rank, world_size=world, num_workers=args.dataLoaderWorkers,
         )
         loss_all = []
+        pending_log = []
+        t_log0 = time.time()
         n_chunk_samples = int(chunk * conf.fs)
 
         def to_global(arr):
@@ -214,19 +221,33 @@ def main(argv=None):
                 tuple(to_global(a) for a in labels.astuple()),
                 jax.random.PRNGKey(global_step * 7919 + run_seed),
             )
-            loss = float(metrics["loss"])
-            gnorm = float(metrics["grad_norm"])
-            clipv = float(metrics["clip_value"])
-            t2 = time.time()
-            print(
-                f"epoch:{epoch} progress:{idx / max(len(loader),1):0.3f} "
-                f"step:{global_step} loss:{loss:0.4f} gradNorm:{gnorm:0.2f} "
-                f"clipValue:{clipv:0.2f} time:{t2 - t1:0.2f}"
-            )
-            if writer:
-                writer.add_scalar("Loss/train", loss, global_step)
-                writer.add_scalar("Optimizer/gradNorm", gnorm, global_step)
-                writer.add_scalar("Optimizer/clipValue", clipv, global_step)
+            # metrics stay on device; fetching every step would sync the
+            # (async) step chain at one link RTT each — batch the fetches
+            pending_log.append((epoch, idx, global_step, metrics))
+            loss = None
+            if len(pending_log) >= max(args.logEvery, 1) or idx == len(loader) - 1:
+                t_flush = time.time()
+                fetched = jax.device_get(
+                    [(m["loss"], m["grad_norm"], m["clip_value"])
+                     for _, _, _, m in pending_log]
+                )
+                dt = (t_flush - t_log0) / len(pending_log)
+                for (ep_i, idx_i, gs_i, _), (loss, gnorm, clipv) in zip(
+                    pending_log, fetched
+                ):
+                    loss, gnorm, clipv = float(loss), float(gnorm), float(clipv)
+                    print(
+                        f"epoch:{ep_i} progress:{idx_i / max(len(loader),1):0.3f} "
+                        f"step:{gs_i} loss:{loss:0.4f} gradNorm:{gnorm:0.2f} "
+                        f"clipValue:{clipv:0.2f} time:{dt:0.2f}"
+                    )
+                    if writer:
+                        writer.add_scalar("Loss/train", loss, gs_i)
+                        writer.add_scalar("Optimizer/gradNorm", gnorm, gs_i)
+                        writer.add_scalar("Optimizer/clipValue", clipv, gs_i)
+                    loss_all.append(loss)
+                pending_log.clear()
+                t_log0 = time.time()
 
             if idx % args.statsEvery == 0 and rank == 0:
                 # decode fns are single-device programs: under multi-host,
@@ -256,10 +277,9 @@ def main(argv=None):
                         "Loss/train_mse_OF", stats["seOFForced"] / n_gt, global_step
                     )
 
-            if math.isnan(loss):
+            if loss is not None and math.isnan(loss):
                 print("NaN loss, aborting")
                 raise SystemExit(1)
-            loss_all.append(loss)
 
             if idx % args.ckptEvery == args.ckptEvery - 1:
                 ckpt_state = jax.device_get(state) if multi_host else state
