@@ -169,6 +169,38 @@ def test_transcribe_many_matches_per_piece(corpus):
             )
 
 
+def test_transcribe_many_multi_device(corpus):
+    """Round-robining pieces over the 8 virtual CPU devices must produce
+    per-piece-identical results in input order (the multi-chip serving
+    path: each device runs its own pieces' device-local stitching chains)."""
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    root, _ = corpus
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+
+    pieces = []
+    for i in range(4):
+        fs, audio = wavfile.read(str(root / "2020" / f"piece{i}.wav"))
+        pieces.append((audio.astype(np.float32) / 32768.0)[:, None])
+
+    assert len(jax.devices()) >= 2
+    multi = list(
+        model.transcribe_many(params, iter(pieces), devices=jax.devices())
+    )
+    singles = [model.transcribe(params, p) for p in pieces]
+    for nm, ns in zip(multi, singles):
+        assert len(nm) == len(ns)
+        for a, b in zip(nm, ns):
+            assert (a.pitch, a.velocity, a.start, a.end) == (
+                b.pitch, b.velocity, b.start, b.end
+            )
+
+
 def test_full_pipeline(corpus, tmp_path):
     root, meta = corpus
 

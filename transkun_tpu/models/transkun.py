@@ -1118,7 +1118,8 @@ class TransKun:
         merge_incomplete_event: bool = True,
         velocity_criterion: str = "hamming",
         segment_batch: Optional[int] = None,
-        depth: int = 1,
+        depth: Optional[int] = None,
+        devices: Optional[Sequence[Any]] = None,
     ):
         """Pipelined batch transcription: a generator yielding one note list
         per piece, in order.
@@ -1128,17 +1129,35 @@ class TransKun:
         whole group chain DISPATCHED before the current piece's results are
         fetched and assembled, so the device never idles between pieces —
         the production serving mode the per-piece API can't reach on a
-        high-latency link.  ``depth`` pieces stay in flight.
+        high-latency link.  ``depth`` pieces stay in flight (default: one
+        per device).
+
+        ``devices`` (e.g. ``jax.devices()``) round-robins pieces over
+        multiple accelerators — each piece's sequential stitching chain is
+        device-local, so pieces are the natural unit of multi-chip serving
+        parallelism (each device runs its own pieces independently; results
+        still yield in input order).
         """
         from collections import deque
 
+        devs = list(devices) if devices else [None]
+        if depth is None:
+            depth = len(devs)
+        # replicate the parameters once per device (jit follows its inputs'
+        # placement; mixed-device arguments would be an error)
+        params_by_dev = {
+            i: (params if d is None else jax.device_put(params, d))
+            for i, d in enumerate(devs)
+        }
         q = deque()
-        for item in pieces:
+        for i, item in enumerate(pieces):
             x = item[1] if isinstance(item, tuple) else item
             q.append(
                 self._transcribe_dispatch(
-                    params, x, step_in_second, segment_size_in_second,
-                    discard_second_half, velocity_criterion, segment_batch,
+                    params_by_dev[i % len(devs)], x, step_in_second,
+                    segment_size_in_second, discard_second_half,
+                    velocity_criterion, segment_batch,
+                    device=devs[i % len(devs)],
                 )
             )
             if len(q) > depth:
@@ -1155,10 +1174,13 @@ class TransKun:
         discard_second_half: bool,
         velocity_criterion: str,
         segment_batch: Optional[int],
+        device=None,
     ) -> Dict[str, Any]:
         """Phase 1 of a piece: quantize, chunk-upload, dispatch every fused
         group program.  Returns the plan consumed by ``_transcribe_finish``;
-        nothing in here waits on the device."""
+        nothing in here waits on the device.  ``device`` pins the piece's
+        uploads (and therefore its programs) to one accelerator —
+        ``transcribe_many`` round-robins pieces over devices."""
         if step_in_second is None and segment_size_in_second is None:
             step_in_second = self.segmentHopSizeInSecond
             segment_size_in_second = self.segmentSizeInSecond
@@ -1249,7 +1271,7 @@ class TransKun:
 
         def ensure_chunk(j: int):
             if 0 <= j < n_chunks and dev_chunks[j] is None:
-                dev_chunks[j] = jax.device_put(chunk_host[j])
+                dev_chunks[j] = jax.device_put(chunk_host[j], device)
 
         # -- fast path: the whole sequential stitching chain (Viterbi tables
         # -> pointer walk -> lastP -> next forcedStartPos -> attribute
@@ -1271,7 +1293,9 @@ class TransKun:
         ob = onset_bound if onset_bound is not None else -1
         handles: Dict[int, tuple] = {}
         starts_in: Dict[int, Array] = {}
-        start_dev = jnp.full((n_sym,), start_frame_idx, jnp.int32)
+        start_dev = jax.device_put(
+            np.full((n_sym,), start_frame_idx, np.int32), device
+        )
 
         def dispatch(k: int):
             nonlocal start_dev
@@ -1318,6 +1342,7 @@ class TransKun:
             onset_bound=onset_bound,
             link=link,
             timing=(_timing, _marks, _mark),
+            device=device,
         )
 
     def _transcribe_finish(
@@ -1403,12 +1428,12 @@ class TransKun:
             # resume with the host-walk path from the overflowing group, with
             # the start positions the device chain carried to that point
             guarded = np.pad(link, ((0, 0), (0, segment_size)))
-            dev_audio = jax.device_put(guarded)
+            dev_audio = jax.device_put(guarded, plan["device"])
             slice_fn = self._get_slice_fn(dev_audio.shape[-1], segment_size)
             starts_np = np.zeros((len(groups), segment_batch), np.int32)
             for k, grp in enumerate(groups):
                 starts_np[k, : len(grp)] = grp
-            sp_all = jax.device_put(starts_np)
+            sp_all = jax.device_put(starts_np, plan["device"])
             start_pos = [int(v) for v in np.asarray(starts_in[fallback_from])]
             for g_idx in range(fallback_from, len(groups)):
                 group = groups[g_idx]
