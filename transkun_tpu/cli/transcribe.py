@@ -36,6 +36,11 @@ def main(argv=None):
         help="'cpu' forces host execution (reference flag parity); default: "
         "the available accelerator",
     )
+    parser.add_argument(
+        "--allDevices", action="store_true",
+        help="directory mode: round-robin pieces over every local "
+        "accelerator (multi-chip serving)",
+    )
     args = parser.parse_args(argv)
 
     if args.device == "cpu":
@@ -115,6 +120,7 @@ def main(argv=None):
             read_all(),
             step_in_second=args.segmentHopSize,
             segment_size_in_second=args.segmentSize,
+            devices=jax.devices() if args.allDevices else None,
         )
         for p, notes in zip(files, results):
             out = pathlib.Path(args.outPath) / p.relative_to(root).with_suffix(".midi")
