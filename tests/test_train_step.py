@@ -179,16 +179,18 @@ def test_quantile_clip_matches_reference_movingbuffer(rng):
         values.append(float(v))
 
 
-def test_fused_log_prob_matches_unfused(rng):
+@pytest.mark.parametrize("n_frames", [64, 61])  # 61: T % Pallas block != 0
+def test_fused_log_prob_matches_unfused(rng, n_frames):
     """The fused training path (alpha-layout padded score emission +
     pre-padded logZ) must equal the unfused einsum+transpose path, value and
-    parameter gradients."""
+    parameter gradients — including at frame counts that need padding."""
     from transkun_tpu.models.transkun import log_prob_padded
 
     conf = ModelConfig.from_dict(TINY)
     model = TransKun(conf)
     params = model.init(jax.random.PRNGKey(0), n_frames=64)
     frames, labels = _batch(2, rng)
+    frames = frames[:, :, :n_frames]
 
     def loss(p, fused):
         logp = log_prob_padded(
@@ -204,8 +206,10 @@ def test_fused_log_prob_matches_unfused(rng):
         jax.tree_util.tree_flatten_with_path(gu)[0],
     ):
         assert pa == pb
+        # padded einsum entries change f32 reduction order: observed
+        # grad diffs are ~1e-7 RELATIVE on magnitude-1e3 leaves
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=2e-4,
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-5,
             err_msg=jax.tree_util.keystr(pa),
         )
 
