@@ -1219,7 +1219,7 @@ class TransKun:
             # per size, so a service converges to a handful of variants.
             n_st = len(starts)
             segment_batch = min(
-                range(4, 9),
+                range(2, 9),
                 key=lambda sb: (-(-n_st // sb) * sb - n_st, -sb),
             )
 
