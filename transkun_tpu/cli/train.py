@@ -78,7 +78,6 @@ def main(argv=None):
     from ..train.checkpoint import load_checkpoint, save_checkpoint
     from ..train.step import TrainState
     from ..train.optim import QuantileClipState
-    from ..train.validate import do_validation
 
     module_mod, conf = parse_conf_file(args.modelConf)
     model = module_mod.TransKun(
@@ -291,23 +290,37 @@ def main(argv=None):
                     print("saved")
             global_step += 1
 
-        # validation (rank 0 hosts the decode programs; the reference
-        # all_reduces a 5-vector instead, TrainUtil.py:254-263)
+        # distributed validation: every rank validates its own loader shard
+        # over its LOCAL devices, then the 5-vector is summed across
+        # processes (exactly the reference's sharded doValidation +
+        # all_reduce, TrainUtil.py:231-272)
+        from ..train.validate import (
+            _metrics_from_agg,
+            aggregate_across_processes,
+            validation_counts,
+        )
+
         val_params = jax.device_get(state.params) if multi_host else state.params
         if rank == 0:
             print("Validating...")
-            val_iter = D.DatasetMaestroIterator(
-                dataset_val,
-                conf.segmentHopSizeInSecond,
-                chunk,
-                notes_strictly_contained=False,
-                seed=run_seed + epoch * 100,
-            )
-            val_loader = D.BatchLoader(
-                val_iter, min(2 * global_batch, max(len(val_iter), 1)),
-                shuffle=True, seed=epoch, drop_last=False,
-            )
-            val_result = do_validation(model, val_params, val_loader, conf.fs)
+        val_iter = D.DatasetMaestroIterator(
+            dataset_val,
+            conf.segmentHopSizeInSecond,
+            chunk,
+            notes_strictly_contained=False,
+            seed=run_seed + epoch * 100,
+        )
+        val_loader = D.BatchLoader(
+            val_iter, min(2 * global_batch, max(len(val_iter), 1)),
+            shuffle=True, seed=epoch, drop_last=False,
+            rank=rank, world_size=world,
+        )
+        counts = validation_counts(
+            model, val_params, val_loader, conf.fs,
+            devices=jax.local_devices(),
+        )
+        val_result = _metrics_from_agg(aggregate_across_processes(counts))
+        if rank == 0:
             print("result:", val_result)
             if writer:
                 for k, v in val_result.items():

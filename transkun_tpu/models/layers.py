@@ -105,16 +105,18 @@ class MultiHeadAttention(nn.Module):
         k = dense("k_proj")(key)
         v = dense("v_proj")(value)
 
-        def split(x):
-            return jnp.swapaxes(
-                x.reshape(*x.shape[:-1], self.num_heads, head_dim), -2, -3
-            )  # [..., H, S, hd]
+        # Fused Pallas attention on TPU (logits never touch HBM); identical
+        # math via plain einsums elsewhere (ops/attention_pallas.py).
+        from ..ops import attention_pallas
 
-        q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(head_dim)
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("...qk,...kd->...qd", attn, v)
-        out = jnp.swapaxes(out, -2, -3).reshape(*query.shape[:-1], hidden)
+        lead = q.shape[:-2]
+        qf = q.reshape(-1, q.shape[-2], hidden)
+        kf = k.reshape(-1, k.shape[-2], hidden)
+        vf = v.reshape(-1, v.shape[-2], hidden)
+        out = attention_pallas.attention(
+            qf, kf, vf, self.num_heads, 1.0 / math.sqrt(head_dim)
+        )
+        out = out.reshape(*lead, q.shape[-2], hidden)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
 
 

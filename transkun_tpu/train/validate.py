@@ -1,12 +1,30 @@
-"""Validation pass (counterpart of ``doValidation``/``computeMetrics``,
-``transkun/TrainUtil.py:212-272``): mean NLL per audio second + note+offset
-precision/recall/F1 over a validation loader."""
+"""Validation pass (counterpart of ``doValidation``, ``TrainUtil.py:231-272``):
+mean NLL per audio second + note+offset precision/recall/F1 over a validation
+loader.
+
+Distribution strategy (the reference shards validation across workers and
+all_reduces a 5-vector, ``TrainUtil.py:254-263`` / ``train.py:319-351``):
+
+* within one process, batches round-robin over the local ``devices`` — one
+  thread per device, parameters replicated once per device, each device
+  running its own log_prob/decode programs (validation wall time scales
+  ~1/n_devices);
+* across processes, each rank validates its own loader shard
+  (``BatchLoader(rank=, world_size=)``) and the aggregate 5-vector is summed
+  with ``aggregate_across_processes`` before deriving metrics.
+
+Per-batch results are accumulated on the host in batch-index order, so the
+multi-device aggregate is bit-identical to the serial path.
+"""
 
 from __future__ import annotations
 
-from typing import Dict
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional, Sequence
 
 import numpy as np
+
+AGG_KEYS = ("logProb", "length", "nGT", "nEst", "nCorrect")
 
 
 def compute_metrics(model, params, audio_batch, notes_batch) -> Dict[str, float]:
@@ -22,16 +40,7 @@ def compute_metrics(model, params, audio_batch, notes_batch) -> Dict[str, float]
     }
 
 
-def do_validation(model, params, loader, fs: int) -> Dict[str, float]:
-    agg = {"logProb": 0.0, "length": 0.0, "nGT": 0.0, "nEst": 0.0, "nCorrect": 0.0}
-    for batch in loader:
-        notes_batch = batch["notes"]
-        audio = batch["audioSlices"]
-        r = compute_metrics(model, params, audio, notes_batch)
-        agg["logProb"] += r["logProb"]
-        agg["length"] += r["length"] / fs
-        for k in ("nGT", "nEst", "nCorrect"):
-            agg[k] += r[k]
+def _metrics_from_agg(agg: Dict[str, float]) -> Dict[str, float]:
     precision = agg["nCorrect"] / max(agg["nEst"], 1e-8)
     recall = agg["nCorrect"] / max(agg["nGT"], 1e-8)
     f1 = 2 * precision * recall / max(precision + recall, 1e-8)
@@ -41,3 +50,62 @@ def do_validation(model, params, loader, fs: int) -> Dict[str, float]:
         "recall": recall,
         "f1": f1,
     }
+
+
+def validation_counts(
+    model, params, loader, fs: int, devices: Optional[Sequence] = None
+) -> Dict[str, float]:
+    """The raw 5-vector of this process's validation shard.  With more than
+    one device, batches are strided over a thread per device."""
+    batches = list(loader)
+    results: list = [None] * len(batches)
+
+    if devices is not None and len(devices) > 1 and len(batches) > 1:
+        import jax
+
+        per_dev_params = [jax.device_put(params, d) for d in devices]
+
+        def run_stride(d_idx: int) -> None:
+            for i in range(d_idx, len(batches), len(devices)):
+                b = batches[i]
+                results[i] = compute_metrics(
+                    model, per_dev_params[d_idx], b["audioSlices"], b["notes"]
+                )
+
+        with ThreadPoolExecutor(max_workers=len(devices)) as ex:
+            list(ex.map(run_stride, range(len(devices))))
+    else:
+        for i, b in enumerate(batches):
+            results[i] = compute_metrics(model, params, b["audioSlices"], b["notes"])
+
+    agg = dict.fromkeys(AGG_KEYS, 0.0)
+    for r in results:  # batch-index order: bit-identical to the serial sum
+        agg["logProb"] += r["logProb"]
+        agg["length"] += r["length"] / fs
+        for k in ("nGT", "nEst", "nCorrect"):
+            agg[k] += r[k]
+    return agg
+
+
+def aggregate_across_processes(agg: Dict[str, float]) -> Dict[str, float]:
+    """Sum the validation 5-vector over all processes (the reference's
+    ``dist.all_reduce(tensor)``, ``TrainUtil.py:257-258``).  No-op for a
+    single-process runtime."""
+    import jax
+
+    if jax.process_count() == 1:
+        return agg
+    from jax.experimental import multihost_utils
+
+    vec = np.asarray([agg[k] for k in AGG_KEYS], np.float64)
+    all_vecs = np.asarray(multihost_utils.process_allgather(vec))
+    total = all_vecs.sum(axis=0)
+    return dict(zip(AGG_KEYS, (float(x) for x in total)))
+
+
+def do_validation(
+    model, params, loader, fs: int, devices: Optional[Sequence] = None
+) -> Dict[str, float]:
+    """Single-process entry: validate the whole loader (optionally over all
+    local devices) and derive metrics."""
+    return _metrics_from_agg(validation_counts(model, params, loader, fs, devices))
