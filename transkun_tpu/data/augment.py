@@ -29,12 +29,19 @@ def _stft(x, n_fft, hop):
 def _istft(spec, win, hop, length):
     n_fft = len(win)
     frames = np.fft.irfft(spec, n=n_fft, axis=-1) * win
-    out = np.zeros(hop * (len(frames) - 1) + n_fft, np.float32)
+    n = len(frames)
+    out = np.zeros(hop * (n - 1) + n_fft, np.float32)
     norm = np.zeros_like(out)
     w2 = win * win
-    for i, f in enumerate(frames):
-        out[i * hop : i * hop + n_fft] += f
-        norm[i * hop : i * hop + n_fft] += w2
+    # vectorized overlap-add: frame i, sub-block k covers (i+k)*hop+[0,hop),
+    # so each k-th column block scatters as one contiguous strided add
+    for k in range(n_fft // hop):
+        out[k * hop : k * hop + n * hop] += np.ascontiguousarray(
+            frames[:, k * hop : (k + 1) * hop]
+        ).ravel()
+        norm[k * hop : k * hop + n * hop] += np.tile(
+            w2[k * hop : (k + 1) * hop], n
+        )
     out /= np.maximum(norm, 1e-8)
     return out[:length]
 
@@ -43,21 +50,32 @@ def time_stretch(x: np.ndarray, rate: float, n_fft: int = 2048, hop: int = 512):
     """Phase-vocoder time stretch of a mono signal by ``rate`` (>1 = faster)."""
     if len(x) < n_fft * 2:
         return x
+    # strided views (e.g. one channel of interleaved stereo) put the frame
+    # FFT on a slow gather path — a contiguous copy is ~10x faster overall
+    x = np.ascontiguousarray(x)
     spec, win = _stft(x, n_fft, hop)
     n_in = spec.shape[0]
     steps = np.arange(0, n_in - 1, rate)
     phase_adv = np.linspace(0, np.pi * hop, spec.shape[1])
-    out = np.zeros((len(steps), spec.shape[1]), np.complex64)
-    phase = np.angle(spec[0])
-    for t, step in enumerate(steps):
-        i = int(step)
-        frac = step - i
-        s0, s1 = spec[i], spec[min(i + 1, n_in - 1)]
-        mag = (1 - frac) * np.abs(s0) + frac * np.abs(s1)
-        out[t] = mag * np.exp(1j * phase)
-        dphase = np.angle(s1) - np.angle(s0) - phase_adv
-        dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
-        phase = phase + phase_adv + dphase
+    # fully vectorized phase vocoder: the per-frame phase accumulator is a
+    # cumulative sum of wrapped phase deltas, so the whole loop collapses to
+    # fancy indexing + cumsum (was a ~1400-iteration python loop per chunk)
+    phase_adv = phase_adv.astype(np.float32)
+    idx = steps.astype(np.int64)
+    frac = (steps - idx)[:, None].astype(np.float32)
+    s0 = spec[idx]
+    s1 = spec[np.minimum(idx + 1, n_in - 1)]
+    ang0 = np.angle(s0)
+    mag = (1 - frac) * np.abs(s0) + frac * np.abs(s1)
+    dphase = np.angle(s1) - ang0 - phase_adv
+    dphase -= np.float32(2 * np.pi) * np.round(dphase * np.float32(0.5 / np.pi))
+    inc = phase_adv + dphase  # phase increment applied AFTER frame t
+    phase = np.empty_like(inc)
+    phase[0] = np.angle(spec[0])
+    phase[1:] = np.angle(spec[0]) + np.cumsum(inc[:-1], axis=0, dtype=np.float32)
+    out = (mag * (np.cos(phase) + np.complex64(1j) * np.sin(phase))).astype(
+        np.complex64
+    )
     length = int(round(len(x) / rate))
     return _istft(out, win, hop, length)
 
@@ -70,9 +88,14 @@ def pitch_shift(x: np.ndarray, semitones: float, fs: int) -> np.ndarray:
 
     factor = 2.0 ** (semitones / 12.0)
     stretched = time_stretch(x, 1.0 / factor)  # longer by `factor`
-    # compress back to the original duration -> frequencies scale by `factor`
-    up, down = 10000, max(1, int(round(10000 * factor)))
-    y = resample_poly(stretched, up, down).astype(np.float32)
+    # compress back to the original duration -> frequencies scale by `factor`.
+    # A small-denominator rational approximation keeps the polyphase filter
+    # short (up=10000 made resample_poly take seconds per chunk); the rate
+    # error (<1e-6 relative) is far below the vocoder's own accuracy.
+    from fractions import Fraction
+
+    fr = Fraction(1.0 / factor).limit_denominator(500)
+    y = resample_poly(stretched, fr.numerator, fr.denominator).astype(np.float32)
     if len(y) >= len(x):
         return y[: len(x)]
     return np.pad(y, (0, len(x) - len(y)))
@@ -324,7 +347,11 @@ class Augmentator:
 
         if self.irFiles and r.random() < 0.5:
             _, ir = self._load_wav(r.choice(self.irFiles))
-            wet = np.convolve(x, ir)[: len(x)].astype(np.float32)
+            from scipy.signal import fftconvolve
+
+            # direct np.convolve with a ~0.3 s IR is ~10 GMAC (seconds per
+            # chunk); FFT convolution is ~50 ms for identical output
+            wet = fftconvolve(x, ir)[: len(x)].astype(np.float32)
             alpha = r.random()
             x = alpha * x + (1 - alpha) * wet
 

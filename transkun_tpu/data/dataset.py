@@ -277,13 +277,41 @@ def collate_fn_randomized_len(batch):
     return out
 
 
+_WORKER_STATE = None
+
+
+def _pool_init(data, seed):
+    global _WORKER_STATE
+    _WORKER_STATE = (data, seed)
+    # the augmentation chain lazily imports scipy.signal (~4 s cold); pay it
+    # once at worker startup, overlapped across workers, not on first batch
+    if getattr(data, "augmentator", None) is not None:
+        import scipy.fft  # noqa: F401
+        import scipy.signal  # noqa: F401
+
+
+def _pool_fetch(j):
+    data, seed = _WORKER_STATE
+    aug = getattr(data, "augmentator", None)
+    if aug is not None and getattr(aug, "rng", None) is not None:
+        # per-item seeding: augmentation depends only on (loader seed, item
+        # index), not on which worker draws the item — deterministic across
+        # worker counts (torch DataLoader workers are not)
+        aug.rng.seed(seed * 1_000_003 + j)
+    return data[j]
+
+
 class BatchLoader:
     """Multi-epoch batch loader: shuffled shards of a map-style iterator,
-    optional rank sharding for data parallelism, and thread-pool sample
-    loading with batch prefetch (replaces torch DataLoader +
-    DistributedSampler + worker processes in the reference stack — wav
-    slicing/augmentation release the GIL in numpy/scipy, so threads give the
-    host-side parallelism of ``train.py:120-126`` without process forks)."""
+    optional rank sharding for data parallelism, worker-based sample loading
+    with batch prefetch (the reference's torch DataLoader +
+    DistributedSampler + worker processes, ``train.py:120-126``).
+
+    Workers default to PROCESSES when the iterator carries an augmentator
+    (``use_processes=None`` auto): the augmentation chain is GIL-bound numpy
+    (threads measured ~1x scaling), while fork workers scale linearly and
+    inherit loaded modules.  Plain wav slicing stays on threads (cheap, and
+    mmap-friendly)."""
 
     def __init__(
         self,
@@ -297,12 +325,25 @@ class BatchLoader:
         drop_last: bool = True,
         num_workers: int = 4,
         prefetch: int = 4,
+        use_processes: Optional[bool] = None,
     ):
         self.data = data
         self.batch_size = batch_size
         self.collate = collate
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.seed = seed
+        if use_processes is None:
+            # processes only pay off when there are cores to use them (the
+            # augmentation chain is GIL-bound numpy, so threads don't scale,
+            # but on a 1-core host processes just add pickle overhead)
+            use_processes = (
+                getattr(data, "augmentator", None) is not None
+                and (os.cpu_count() or 1) > 1
+            )
+        self.use_processes = use_processes
+        if use_processes:
+            self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         order = list(range(len(data)))
         if shuffle:
             random.Random(seed).shuffle(order)
@@ -325,7 +366,12 @@ class BatchLoader:
             for i in range(len(self)):
                 yield self.collate([self.data[j] for j in self._batch_indices(i)])
             return
+        if self.use_processes:
+            yield from self._iter_processes()
+        else:
+            yield from self._iter_threads()
 
+    def _iter_threads(self):
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -340,15 +386,37 @@ class BatchLoader:
                     for j in self._batch_indices(i)
                 ]
 
-            pending = deque()
-            nxt = 0
-            while nxt < min(self.prefetch, len(self)):
+            yield from self._drain(submit_batch)
+
+    def _iter_processes(self):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(
+            self.num_workers, initializer=_pool_init,
+            initargs=(self.data, self.seed),
+        ) as pool:
+
+            def submit_batch(i):
+                return [
+                    pool.apply_async(_pool_fetch, (j,))
+                    for j in self._batch_indices(i)
+                ]
+
+            yield from self._drain(submit_batch, lambda f: f.get())
+
+    def _drain(self, submit_batch, result=lambda f: f.result()):
+        from collections import deque
+
+        pending = deque()
+        nxt = 0
+        while nxt < min(self.prefetch, len(self)):
+            pending.append(submit_batch(nxt))
+            nxt += 1
+        for _ in range(len(self)):
+            futs = pending.popleft()
+            samples = [result(f) for f in futs]
+            if nxt < len(self):
                 pending.append(submit_batch(nxt))
                 nxt += 1
-            for _ in range(len(self)):
-                futs = pending.popleft()
-                samples = [f.result() for f in futs]
-                if nxt < len(self):
-                    pending.append(submit_batch(nxt))
-                    nxt += 1
-                yield self.collate(samples)
+            yield self.collate(samples)

@@ -742,9 +742,13 @@ class TransKunAblation:
         for i in range(0, n_sample, step_size):
             j = min(i + segment_size, n_sample)
             begin_time = i / self.fs - pad_time_begin
+            # the reference decodes SHORTER final segments rather than
+            # zero-padding them (``Model_ablation.py:763-766``): padding is
+            # not equivalent — the backward DP values at real frames include
+            # contributions from pad frames, which can change the decoded
+            # path inside the real region.  jit re-specializes per tail
+            # shape (at most segment/step distinct tail lengths per piece).
             cur = x[:, i:j]
-            if cur.shape[-1] < segment_size:
-                cur = np.pad(cur, ((0, 0), (0, segment_size - cur.shape[-1])))
             frames = frontend.make_frame(
                 jnp.asarray(cur), self.hopSize, self.windowSize
             )[None]
