@@ -228,9 +228,13 @@ def attention_xla(
             x.reshape(*x.shape[:-1], num_heads, head_dim), -2, -3
         )
 
+    from . import softmax_pallas
+
     qh, kh, vh = split(q), split(k), split(v)
     logits = jnp.einsum("...qd,...kd->...qk", qh, kh) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
+    # batched einsums stay in XLA (good at batched matmuls); the softmax —
+    # the HBM-bound part — goes through the 2-pass Pallas row kernel on TPU
+    attn = softmax_pallas.softmax_last(logits)
     o = jnp.einsum("...qk,...kd->...qd", attn, vh)
     return jnp.swapaxes(o, -2, -3).reshape(b, sq, d)
 
