@@ -109,7 +109,12 @@ class MultiHeadAttention(nn.Module):
         # math via plain einsums elsewhere (ops/attention_pallas.py).
         from ..ops import attention_pallas
 
-        lead = q.shape[:-2]
+        # leading (batch) dims broadcast between query and key/value (the
+        # All0 path attends many query rows against one shared key row)
+        lead = jnp.broadcast_shapes(q.shape[:-2], k.shape[:-2])
+        q = jnp.broadcast_to(q, lead + q.shape[-2:])
+        k = jnp.broadcast_to(k, lead + k.shape[-2:])
+        v = jnp.broadcast_to(v, lead + v.shape[-2:])
         qf = q.reshape(-1, q.shape[-2], hidden)
         kf = k.reshape(-1, k.shape[-2], hidden)
         vf = v.reshape(-1, v.shape[-2], hidden)
