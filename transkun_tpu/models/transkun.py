@@ -355,6 +355,7 @@ class TransKun:
         self.targetMIDIPitch = target_midi_pitches()
         self.module = TransKunModule(conf, compute_dtype)
         self._decode_fn = {}
+        self._zero_chunk = {}
         # streaming-decode capacities: per-track walk events and the
         # per-group compact transfer budget (overflow -> host-walk
         # fallback).  budget None = auto-scale with the group size.
@@ -1269,9 +1270,28 @@ class TransKun:
                 chunk_host[k, :, : hi - lo] = link[:, lo:hi]
         dev_chunks: List[Optional[Array]] = [None] * n_chunks
 
+        def zero_chunk():
+            # all-zero chunks (the segment padding and group-size slop — up
+            # to ~1/3 of shipped bytes on short pieces) never cross the
+            # link: one cached device-resident zeros array per shape/device
+            key = (chunk_host.shape[1:], chunk_host.dtype.str, id(device))
+            z = self._zero_chunk.get(key)
+            if z is None:
+                ctx = jax.default_device(device) if device is not None else None
+                if ctx is None:
+                    z = jnp.zeros(chunk_host.shape[1:], chunk_host.dtype)
+                else:
+                    with ctx:
+                        z = jnp.zeros(chunk_host.shape[1:], chunk_host.dtype)
+                self._zero_chunk[key] = z
+            return z
+
         def ensure_chunk(j: int):
             if 0 <= j < n_chunks and dev_chunks[j] is None:
-                dev_chunks[j] = jax.device_put(chunk_host[j], device)
+                if not chunk_host[j].any():
+                    dev_chunks[j] = zero_chunk()
+                else:
+                    dev_chunks[j] = jax.device_put(chunk_host[j], device)
 
         # -- fast path: the whole sequential stitching chain (Viterbi tables
         # -> pointer walk -> lastP -> next forcedStartPos -> attribute
