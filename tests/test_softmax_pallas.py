@@ -46,3 +46,58 @@ def test_bf16_row_stats_fp32(rng):
     ref = jax.nn.softmax(l32, axis=-1)
     # bf16 input quantization alone causes ~1% relative error on exp values
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.08, atol=0.01)
+
+
+# ---------------------------------------------------------------------------
+# fused MLP kernel (ops/mlp_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_mlp_matches_reference(rng):
+    from transkun_tpu.ops import mlp_pallas as mp
+
+    mp.INTERPRET = jax.default_backend() != "tpu"
+    try:
+        x = jnp.asarray(rng.normal(size=(37, 16)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32) * 0.3)
+        b1 = jnp.asarray(rng.normal(size=(32,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32) * 0.3)
+        b2 = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        out = mp.fused_mlp(x, w1, b1, w2, b2)
+        ref = mp.mlp_reference(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+        co = jnp.asarray(rng.normal(size=(37, 16)).astype(np.float32))
+        gp = jax.grad(
+            lambda *a: jnp.sum(mp.fused_mlp(*a) * co), argnums=(0, 1, 2, 3, 4)
+        )(x, w1, b1, w2, b2)
+        gr = jax.grad(
+            lambda *a: jnp.sum(mp.mlp_reference(*a) * co), argnums=(0, 1, 2, 3, 4)
+        )(x, w1, b1, w2, b2)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        mp.INTERPRET = False
+
+
+def test_ffn_block_fused_flag_matches_plain(rng, monkeypatch):
+    """FFNResBlock under TRANSKUN_TPU_FUSED_MLP (interpret mode) must match
+    the plain path on the same params."""
+    import os
+
+    from transkun_tpu.models.layers import FFNResBlock
+    from transkun_tpu.ops import mlp_pallas as mp
+
+    blk = FFNResBlock(size=16, hidden_factor=2.0, dropout=0.0)
+    x = jnp.asarray(rng.normal(size=(3, 5, 16)).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x, True)
+    plain = blk.apply(params, x, True)
+
+    mp.INTERPRET = True
+    monkeypatch.setenv("TRANSKUN_TPU_FUSED_MLP", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    try:
+        fused = blk.apply(params, x, True)
+    finally:
+        mp.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-5)

@@ -150,6 +150,22 @@ class AttnResBlock(nn.Module):
         return x + (h * scale).astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Raw kernel/bias holder with nn.Dense's exact param tree and inits —
+    lets the FFN use either plain XLA matmuls or the fused Pallas MLP over
+    the same checkpoint-compatible parameters."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
 class FFNResBlock(nn.Module):
     """Prenorm FFN residual with LayerScale (ref ``:88-99,224-233``)."""
 
@@ -160,12 +176,29 @@ class FFNResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
+        from ..ops import mlp_pallas
+
         scale = self.param("scale", _layer_scale_init, (self.size,))
         hidden = int(math.ceil(self.size * self.hidden_factor))
-        h = nn.Dense(hidden, dtype=self.dtype, name="lin1")(rms_norm(x).astype(self.dtype or x.dtype))
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.size, dtype=self.dtype, name="lin2")(h)
+        dt = self.dtype or x.dtype
+        xin = rms_norm(x).astype(dt)
+        k1, b1 = _DenseParams(hidden, name="lin1")(xin.shape[-1])
+        k2, b2 = _DenseParams(self.size, name="lin2")(hidden)
+
+        fused_ok = mlp_pallas.use_pallas_mlp() and (
+            deterministic or self.dropout == 0.0
+        )
+        if fused_ok:
+            # hidden activation stays in VMEM; the mid-FFN dropout is a
+            # no-op under the gate above
+            h = mlp_pallas.mlp(
+                xin, k1.astype(dt), b1.astype(dt), k2.astype(dt), b2.astype(dt)
+            )
+        else:
+            h = xin @ k1.astype(dt) + b1.astype(dt)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = h @ k2.astype(dt) + b2.astype(dt)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + (h * scale).astype(x.dtype)
 
