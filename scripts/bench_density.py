@@ -36,9 +36,6 @@ def main():
     params = model.init(jax.random.PRNGKey(0), n_frames=691)
 
     rng = np.random.default_rng(0)
-    probe_dur = 16.0
-    probe = (rng.normal(size=(int(probe_dur * conf.fs), 1)) * 0.05).astype(np.float32)
-    probe = np.clip(np.round(probe * 32768), -32768, 32767).astype(np.float32) / 32768
 
     def with_bias(b):
         p = jax.tree_util.tree_map(lambda x: x, params)
@@ -47,24 +44,14 @@ def main():
         p["params"]["scorer"]["map"]["bias"] = jnp.asarray(bias)
         return p
 
-    # bisect the diagonal bias to a piano-realistic event rate
-    target_lo, target_hi = 5.0, 20.0
-    lo, hi = -8.0, 0.0  # -8: ~0 events/s; 0: wall-to-wall
-    bias = -4.0
-    rate = None
-    for _ in range(8):
-        p = with_bias(bias)
-        notes = model.transcribe(p, probe)
-        rate = len(notes) / probe_dur
-        print(f"bias {bias:+.2f} -> {rate:.1f} events/s", file=sys.stderr, flush=True)
-        if target_lo <= rate <= target_hi:
-            break
-        if rate < target_lo:
-            lo = bias
-        else:
-            hi = bias
-        bias = (lo + hi) / 2
-
+    # Measured: the decoded event rate is INSENSITIVE to the diagonal bias
+    # (227 events/s on the probe at every bias in [-8, -4]): random-init
+    # decodes are non-singleton (b<e) intervals driven by the qk products,
+    # so the headline bench.py configuration ALREADY runs at ~10x realistic
+    # piano density (~10-20 events/s) — the compaction budget and host
+    # assembly are exercised harder than a trained model would.  This bench
+    # simply reports the event rate alongside the RTF at the bench config.
+    bias = -8.0
     p = with_bias(bias)
     dur = 64.0
     audio = (rng.normal(size=(int(dur * conf.fs), 1)) * 0.05).astype(np.float32)

@@ -162,9 +162,11 @@ def d_xla(x):
 
 
 def _mlp_kernel(x_ref, w1_ref, w2_ref, o_ref):
+    from transkun_tpu.ops.mlp_pallas import _gelu_erf
+
     x = x_ref[...]
     h = jax.lax.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    h = _gelu_erf(h).astype(x.dtype)
     o_ref[...] = jax.lax.dot(h, w2_ref[...], preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 

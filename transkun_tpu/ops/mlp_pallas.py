@@ -51,11 +51,19 @@ def mlp_reference(x, w1, b1, w2, b2):
     return g @ w2 + b2
 
 
+def _gelu_erf(h):
+    # jax.nn.gelu(approximate=False) lowers through erfc, which Mosaic does
+    # not implement; the plain erf formulation compiles.  (1+erf) loses a
+    # few ulps for very negative h where gelu ~= 0 anyway.
+    inv_sqrt2 = 0.7071067811865476
+    return 0.5 * h * (1.0 + jax.lax.erf(h * inv_sqrt2))
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[...]
     h = jax.lax.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    g = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    g = _gelu_erf(h).astype(x.dtype)
     o = jax.lax.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
     o_ref[...] = (o + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
