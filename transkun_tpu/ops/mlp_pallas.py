@@ -36,9 +36,13 @@ def _call_kwargs():
 
 
 def use_pallas_mlp() -> bool:
+    # ON by default on TPU: same-run benchmark 0.298 ms vs 0.417 ms for the
+    # XLA Dense-gelu-Dense at the flagship FFN shape ([26224,256->1024->256]
+    # bf16), values agree to bf16 precision (2e-3).  Opt out with
+    # TRANSKUN_TPU_FUSED_MLP=0 or TRANSKUN_TPU_NO_PALLAS.
     if os.environ.get("TRANSKUN_TPU_NO_PALLAS"):
         return False
-    if not os.environ.get("TRANSKUN_TPU_FUSED_MLP"):
+    if os.environ.get("TRANSKUN_TPU_FUSED_MLP", "1") == "0":
         return False
     return jax.default_backend() == "tpu"
 
@@ -51,12 +55,25 @@ def mlp_reference(x, w1, b1, w2, b2):
     return g @ w2 + b2
 
 
+def _erf_approx(x):
+    # Mosaic implements neither erfc nor erf; Abramowitz & Stegun 7.1.26
+    # rational approximation (max abs error 1.5e-7 — far below the bf16
+    # cast that follows).
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(
+        -ax * ax
+    )
+    return s * y
+
+
 def _gelu_erf(h):
-    # jax.nn.gelu(approximate=False) lowers through erfc, which Mosaic does
-    # not implement; the plain erf formulation compiles.  (1+erf) loses a
-    # few ulps for very negative h where gelu ~= 0 anyway.
+    # exact-erf gelu with the in-kernel erf approximation above
     inv_sqrt2 = 0.7071067811865476
-    return 0.5 * h * (1.0 + jax.lax.erf(h * inv_sqrt2))
+    return 0.5 * h * (1.0 + _erf_approx(h * inv_sqrt2))
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
