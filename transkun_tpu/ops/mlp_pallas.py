@@ -12,8 +12,11 @@ Backward is plain XLA (jax.vjp over the identical reference math,
 recompute-style) — the backward pass needs dW reductions across all rows,
 which XLA already schedules well.
 
-Gated opt-in via ``TRANSKUN_TPU_FUSED_MLP`` until a clean-weather benchmark
-(scripts/profile_candidates.py case D) proves the win.
+Gated OPT-IN via ``TRANSKUN_TPU_FUSED_MLP=1``: the kernel wins in isolation
+(scripts/profile_candidates.py case D: 0.298 ms vs 0.417 ms) but loses ~25%
+end-to-end in the streaming decode program — the pallas_call is a fusion
+barrier, and XLA's own FFN+residual+norm fusion is worth more than the
+hidden-tensor HBM round trip it removes (bench.py A/B, 2026-08-17).
 """
 
 from __future__ import annotations
@@ -36,13 +39,17 @@ def _call_kwargs():
 
 
 def use_pallas_mlp() -> bool:
-    # ON by default on TPU: same-run benchmark 0.298 ms vs 0.417 ms for the
-    # XLA Dense-gelu-Dense at the flagship FFN shape ([26224,256->1024->256]
-    # bf16), values agree to bf16 precision (2e-3).  Opt out with
-    # TRANSKUN_TPU_FUSED_MLP=0 or TRANSKUN_TPU_NO_PALLAS.
+    # OPT-IN.  The kernel wins its isolated microbenchmark (0.298 ms vs
+    # 0.417 ms for XLA Dense-gelu-Dense at the flagship FFN shape,
+    # [26224,256->1024->256] bf16) but LOSES ~25% end-to-end in the decode
+    # program (bench.py 121.8x with it on vs 152.9x off, same weather
+    # window): inside the full backbone XLA fuses the FFN GEMMs with the
+    # surrounding residual/norm elementwise work, and the pallas_call is a
+    # fusion barrier that re-buys those HBM passes.  Enable with
+    # TRANSKUN_TPU_FUSED_MLP=1 for isolated-FFN workloads only.
     if os.environ.get("TRANSKUN_TPU_NO_PALLAS"):
         return False
-    if os.environ.get("TRANSKUN_TPU_FUSED_MLP", "1") == "0":
+    if os.environ.get("TRANSKUN_TPU_FUSED_MLP", "0") != "1":
         return False
     return jax.default_backend() == "tpu"
 
