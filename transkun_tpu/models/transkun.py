@@ -363,6 +363,10 @@ class TransKun:
         self.decode_k_budget: Optional[int] = None
         # None = auto-detect int16-exact waveforms; False forces f32 link
         self.decode_link_int16: Optional[bool] = None
+        # upload-chunk granularity in segment steps (must divide the group
+        # size so the carve offset stays static); None = auto heuristic
+        # balancing per-transfer link overhead against upload/compute overlap
+        self.decode_chunk_steps: Optional[int] = None
         self._attr_fn = None
         self._logprob_fn = None
 
@@ -681,11 +685,15 @@ class TransKun:
         of_value: np.ndarray,
         of_presence: np.ndarray,
         last_frame_idx: int,
+        begin_times: Optional[np.ndarray] = None,
     ) -> Tuple[List[List[Note]], List[int]]:
         """Vectorized Note assembly from padded event arrays [N, P, K]
         (the tail of ref ``transcribeFrames``, ``:658-725``).  ``mask`` marks
         real events; masked slots must be prefix-shaped per track (walk
-        order)."""
+        order).  ``begin_times`` [N] additionally shifts each segment's
+        events into piece coordinates (with the piece-level start>=0 /
+        end>=start clamps of ref ``transcribe``) so the caller's per-event
+        Python loop disappears."""
         n_batch, n_sym, k = begins.shape
         frame_dur = self.hopSize / self.fs
         kmax_used = int(mask.sum(axis=-1).max()) if mask.any() else 0
@@ -711,25 +719,33 @@ class TransKun:
         last_p_arr = np.max(
             np.where(mask & has_offset, ends, 0), axis=-1, initial=0
         )
+        if begin_times is not None:
+            start_c = np.maximum(start_c + begin_times[:, None, None], 0.0)
+            end_c = np.maximum(end_c + begin_times[:, None, None], start_c)
 
         pitches = np.asarray(self.targetMIDIPitch)
         notes: List[List[Note]] = []
         for i in range(n_batch):
             jj, kk = np.nonzero(mask[i])
-            order = np.lexsort((pitches[jj], end_c[i][jj, kk], start_c[i][jj, kk]))
+            ss, ee = start_c[i][jj, kk], end_c[i][jj, kk]
+            order = np.lexsort((pitches[jj], ee, ss))
             jj, kk = jj[order], kk[order]
+            # column-wise tolist() then one zip: python-scalar conversion in
+            # bulk, not one numpy scalar index per Note field
             notes.append(
                 [
-                    Note(
-                        start=float(start_c[i, j, e]),
-                        end=float(end_c[i, j, e]),
-                        pitch=int(pitches[j]),
-                        velocity=velocity[i, j, e].item(),  # int (argmax
-                        # criteria) or float (mse expectation), as upstream
-                        hasOnset=bool(has_onset[i, j, e]),
-                        hasOffset=bool(has_offset[i, j, e]),
+                    Note(start=s, end=e, pitch=p, velocity=v, hasOnset=on,
+                         hasOffset=off)
+                    for s, e, p, v, on, off in zip(
+                        ss[order].tolist(),
+                        ee[order].tolist(),
+                        pitches[jj].tolist(),
+                        # velocity stays int (argmax criteria) or float (mse
+                        # expectation) as produced upstream
+                        velocity[i][jj, kk].tolist(),
+                        has_onset[i][jj, kk].tolist(),
+                        has_offset[i][jj, kk].tolist(),
                     )
-                    for j, e in zip(jj.tolist(), kk.tolist())
                 ]
             )
         last_p = [int(v) for v in last_p_arr.reshape(-1)]
@@ -832,24 +848,31 @@ class TransKun:
         segment_batch: int,
         k_max: int = 128,
         k_budget: int = 8192,
+        carve_off: int = 0,
+        n_cover: int = 2,
     ):
-        """Chunk-streaming variant of the fused group program: takes two
-        adjacent fixed-size audio chunks (each ``segment_batch * step_size``
-        samples) instead of pre-sliced segments, and carves the group's
-        overlapping segment windows out of their device-side concatenation.
+        """Chunk-streaming variant of the fused group program: takes
+        ``n_cover`` adjacent fixed-size audio chunks instead of pre-sliced
+        segments, and carves the group's overlapping segment windows out of
+        their device-side concatenation starting at the static sample offset
+        ``carve_off`` (the group start's phase within its first covering
+        chunk — constant across groups when the chunk length divides the
+        group stride, so one compiled program serves the whole piece).
 
         This lets the caller upload the waveform chunk-by-chunk with async
         ``device_put`` while earlier groups compute — upload and compute
         overlap with ZERO duplicated bytes on the link (the 2x window overlap
-        is materialized on device, not on the wire)."""
+        is materialized on device, not on the wire), and the zero padding
+        around the piece never ships at all (those chunks resolve to a cached
+        device-resident zeros array)."""
         key = (
             "fused_chunk", last_frame_idx, step_frames, segment_size,
-            step_size, segment_batch, k_max, k_budget,
+            step_size, segment_batch, k_max, k_budget, carve_off, n_cover,
         )
         if key not in self._decode_fn:
             rel = np.arange(segment_batch, dtype=np.int32) * step_size
-            chunk_len = segment_batch * step_size
-            cover = chunk_len + segment_size  # last window's right edge
+            # last window's right edge, relative to the first covering chunk
+            cover = carve_off + (segment_batch - 1) * step_size + segment_size
 
             @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
             def fn(params, start_pos, *chunks, criterion="hamming",
@@ -857,7 +880,7 @@ class TransKun:
                 audio_cat = jnp.concatenate(list(chunks), axis=-1)[..., :cover]
                 seg_audio = jax.vmap(
                     lambda s: jax.lax.dynamic_slice_in_dim(
-                        audio_cat, s, segment_size, axis=-1
+                        audio_cat, s + carve_off, segment_size, axis=-1
                     )
                 )(jnp.asarray(rel))
                 return self._fused_group_traced(
@@ -1196,11 +1219,13 @@ class TransKun:
             if _timing:
                 _marks.append((label, _time.time()))
 
-        x = np.asarray(x).T  # [C, nSample]
+        x = np.asarray(x).T  # [C, nSample] — kept UNPADDED: the conceptual
+        # zero padding around the piece lives only in padded-timeline
+        # coordinates; it never touches host memory or the link
         pad_time_begin = segment_size_in_second - step_in_second
         pad = math.ceil(pad_time_begin * self.fs)
-        x = np.pad(x, ((0, 0), (pad, pad)))
-        n_sample = x.shape[-1]
+        n_real = x.shape[-1]
+        n_sample = n_real + 2 * pad  # padded-timeline length
 
         start_frame_idx = math.floor(pad_time_begin * self.fs / self.hopSize)
 
@@ -1247,51 +1272,87 @@ class TransKun:
                 np.round(x * x.dtype.type(32768.0)), -32768, 32767
             ).astype(np.int16)
         else:
-            xi = np.round(x * x.dtype.type(32768.0))
-            if np.abs(xi).max(initial=0.0) <= 32767 and np.array_equal(
-                xi / x.dtype.type(32768.0), x
-            ):
+            xs = x * x.dtype.type(32768.0)
+            xi = np.rint(xs)
+            # xs is exact (power-of-two scale), so xi == xs iff the waveform
+            # is int16-representable — no division pass needed
+            if np.abs(xi).max(initial=0.0) <= 32767 and np.array_equal(xi, xs):
                 link = xi.astype(np.int16)
             else:
                 link = x.astype(np.float32)
         _mark("quantize_check")
-        chunk_len = segment_batch * step_size
-        # chunks needed beyond a group's own to cover its last 16 s window
-        n_extra = -(-segment_size // chunk_len)
-        n_chunks = n_groups + n_extra
-        chunk_host = np.zeros(
-            (n_chunks, link.shape[0], chunk_len), link.dtype
-        )
-        avail = link.shape[-1]
-        for k in range(n_chunks):
-            lo = k * chunk_len
-            hi = min(lo + chunk_len, avail)
-            if hi > lo:
-                chunk_host[k, :, : hi - lo] = link[:, lo:hi]
-        dev_chunks: List[Optional[Array]] = [None] * n_chunks
+        # Upload-chunk grid, ANCHORED AT THE REAL AUDIO START (padded-
+        # timeline position ``pad``): chunk j covers real samples
+        # [j*chunk_len, (j+1)*chunk_len).  Chunks with j < 0 or beyond the
+        # audio are pure padding and resolve to a cached device-resident
+        # zeros array — the piece's zero padding (up to 2*segment_size of
+        # every piece) never crosses the link.  chunk_steps must divide
+        # segment_batch so every group starts at the same static phase
+        # ``carve_off`` within its first covering chunk (one compiled
+        # program for all groups).
+        chunk_steps = self.decode_chunk_steps
+        if chunk_steps is None:
+            # heuristic from measured link behavior (~10-15 ms fixed cost
+            # per transfer + ~50 MB/s marginal): ~2-step chunks give
+            # upload/compute overlap without drowning in per-transfer
+            # overhead; fall back to the group size when it has no even
+            # divisor (odd group sizes: 1-step chunks still amortize)
+            for cand in (2, 1):
+                if segment_batch % cand == 0:
+                    chunk_steps = cand
+                    break
+        else:
+            while segment_batch % chunk_steps:
+                chunk_steps -= 1
+        chunk_len = chunk_steps * step_size
+        span = (segment_batch - 1) * step_size + segment_size
+        carve_off = (-pad) % chunk_len
+        n_cover = -(-(carve_off + span) // chunk_len)
+        n_real_chunks = -(-n_real // chunk_len) if n_real else 0
+        dev_chunks: Dict[int, Array] = {}
 
         def zero_chunk():
-            # all-zero chunks (the segment padding and group-size slop — up
-            # to ~1/3 of shipped bytes on short pieces) never cross the
-            # link: one cached device-resident zeros array per shape/device
-            key = (chunk_host.shape[1:], chunk_host.dtype.str, id(device))
+            key = ((link.shape[0], chunk_len), link.dtype.str, id(device))
             z = self._zero_chunk.get(key)
             if z is None:
                 ctx = jax.default_device(device) if device is not None else None
                 if ctx is None:
-                    z = jnp.zeros(chunk_host.shape[1:], chunk_host.dtype)
+                    z = jnp.zeros((link.shape[0], chunk_len), link.dtype)
                 else:
                     with ctx:
-                        z = jnp.zeros(chunk_host.shape[1:], chunk_host.dtype)
+                        z = jnp.zeros((link.shape[0], chunk_len), link.dtype)
                 self._zero_chunk[key] = z
             return z
 
-        def ensure_chunk(j: int):
-            if 0 <= j < n_chunks and dev_chunks[j] is None:
-                if not chunk_host[j].any():
+        def ensure_chunks(js: List[int]):
+            # one BATCHED device_put per dispatch wave: the tunnel charges a
+            # fixed ~10 ms per transfer call, amortized across the wave
+            todo: List[int] = []
+            arrays: List[np.ndarray] = []
+            for j in js:
+                if j in dev_chunks:
+                    continue
+                if j < 0 or j >= n_real_chunks:
                     dev_chunks[j] = zero_chunk()
+                    continue
+                lo = j * chunk_len
+                hi = min(lo + chunk_len, n_real)
+                piece = link[:, lo:hi]
+                if not piece.any():
+                    # interior silence / trailing partial silent chunks
+                    dev_chunks[j] = zero_chunk()
+                    continue
+                if hi - lo < chunk_len:
+                    buf = np.zeros((link.shape[0], chunk_len), link.dtype)
+                    buf[:, : hi - lo] = piece
+                    piece = buf
                 else:
-                    dev_chunks[j] = jax.device_put(chunk_host[j], device)
+                    piece = np.ascontiguousarray(piece)
+                todo.append(j)
+                arrays.append(piece)
+            if arrays:
+                for j, d in zip(todo, jax.device_put(arrays, device)):
+                    dev_chunks[j] = d
 
         # -- fast path: the whole sequential stitching chain (Viterbi tables
         # -> pointer walk -> lastP -> next forcedStartPos -> attribute
@@ -1308,7 +1369,7 @@ class TransKun:
         )
         fused_fn = self._get_fused_chunk_fn(
             last_frame_idx, step_frames, segment_size, step_size,
-            segment_batch, k_max, k_budget,
+            segment_batch, k_max, k_budget, carve_off, n_cover,
         )
         ob = onset_bound if onset_bound is not None else -1
         handles: Dict[int, tuple] = {}
@@ -1321,12 +1382,13 @@ class TransKun:
             nonlocal start_dev
             if k < len(groups) and k not in handles:
                 starts_in[k] = start_dev
-                for j in range(k, k + n_extra + 1):
-                    ensure_chunk(j)
+                # first covering chunk of the group's padded-coords span
+                j0 = (k * segment_batch * step_size - pad) // chunk_len
+                ensure_chunks(list(range(j0, j0 + n_cover)))
                 out = fused_fn(
                     params,
                     start_dev,
-                    *dev_chunks[k : k + n_extra + 1],
+                    *(dev_chunks[j] for j in range(j0, j0 + n_cover)),
                     criterion=velocity_criterion,
                     onset_bound=ob,
                 )
@@ -1389,14 +1451,15 @@ class TransKun:
 
         events_by_type: Dict[int, List[Note]] = defaultdict(list)
 
-        def consume_group(group, group_events):
+        def consume_group(group, group_events, shifted=False):
             for i, cur_events in zip(group, group_events):
-                begin_time = i / self.fs - pad_time_begin
-                for e in cur_events:
-                    e.start += begin_time
-                    e.end += begin_time
-                    e.start = max(e.start, 0)
-                    e.end = max(e.end, e.start)
+                if not shifted:
+                    begin_time = i / self.fs - pad_time_begin
+                    for e in cur_events:
+                        e.start += begin_time
+                        e.end += begin_time
+                        e.start = max(e.start, 0)
+                        e.end = max(e.end, e.start)
 
                 for e in cur_events:
                     if merge_incomplete_event and len(events_by_type[e.pitch]) > 0:
@@ -1416,38 +1479,75 @@ class TransKun:
             [(o[0], o[1], o[2], o[3], o[4], o[5], o[6], o[8]) for o in outs]
         )
         _mark("fetch_all")
-        for g_idx, group in enumerate(groups):
-            src, cb, ce, velocity, of, pres, count, overflow = fetched[g_idx]
-            if bool(overflow):
+        # overflow prefix: groups up to (not including) the first overflowing
+        # one assemble on the fast path; the rest redo via host walk below
+        n_ok = len(groups)
+        for g_idx in range(len(groups)):
+            if bool(fetched[g_idx][7]):
                 fallback_from = g_idx
+                n_ok = g_idx
                 break
-            # scatter the compact event buffer back to [B, P, K] host arrays
+        if n_ok:
+            # ONE scatter of every group's compact event buffer into
+            # [n_ok*segment_batch, P, K] host arrays and ONE vectorized
+            # assembly pass — per-group numpy work doesn't scale with piece
+            # length on the (slow, 1-core-in-this-env) host
             n_grp = segment_batch
-            cnt = int(count)
-            s = src[:cnt].astype(np.int64)
-            gi, gj, gk = s // (n_sym * k_max), (s // k_max) % n_sym, s % k_max
-            begins = np.zeros((n_grp, n_sym, k_max), np.int32)
-            ends = np.zeros((n_grp, n_sym, k_max), np.int32)
-            mask = np.zeros((n_grp, n_sym, k_max), bool)
-            vel_d = np.zeros((n_grp, n_sym, k_max), np.asarray(velocity).dtype)
-            of_d = np.zeros((n_grp, n_sym, k_max, 2), np.float64)
-            pres_d = np.zeros((n_grp, n_sym, k_max, 2), bool)
-            begins[gi, gj, gk] = cb[:cnt]
-            ends[gi, gj, gk] = ce[:cnt]
-            mask[gi, gj, gk] = True
-            vel_d[gi, gj, gk] = velocity[:cnt]
-            of_d[gi, gj, gk] = of[:cnt]
-            pres_d[gi, gj, gk] = pres[:cnt]
-            group_events, _ = self._assemble_from_arrays(
-                begins, ends, mask, vel_d, of_d, pres_d, last_frame_idx
+            stride = n_grp * n_sym * k_max
+            counts = [int(fetched[g][6]) for g in range(n_ok)]
+            s_all = np.concatenate(
+                [
+                    fetched[g][0][: counts[g]].astype(np.int64) + g * stride
+                    for g in range(n_ok)
+                ]
             )
-            consume_group(group, group_events[: len(group)])
-            _mark(f"assemble_{g_idx}")
+            cat = lambda i: np.concatenate(
+                [fetched[g][i][: counts[g]] for g in range(n_ok)]
+            )
+            n_seg = n_ok * n_grp
+            gi = s_all // (n_sym * k_max)
+            gj = (s_all // k_max) % n_sym
+            gk = s_all % k_max
+            begins = np.zeros((n_seg, n_sym, k_max), np.int32)
+            ends = np.zeros((n_seg, n_sym, k_max), np.int32)
+            mask = np.zeros((n_seg, n_sym, k_max), bool)
+            vel_all = cat(3)
+            vel_d = np.zeros((n_seg, n_sym, k_max), vel_all.dtype)
+            of_d = np.zeros((n_seg, n_sym, k_max, 2), np.float64)
+            pres_d = np.zeros((n_seg, n_sym, k_max, 2), bool)
+            begins[gi, gj, gk] = cat(1)
+            ends[gi, gj, gk] = cat(2)
+            mask[gi, gj, gk] = True
+            vel_d[gi, gj, gk] = vel_all
+            of_d[gi, gj, gk] = cat(4)
+            pres_d[gi, gj, gk] = cat(5)
+            begin_times = np.array(
+                [
+                    s / self.fs - pad_time_begin
+                    for g in groups[:n_ok]
+                    for s in (list(g) + [0] * (n_grp - len(g)))
+                ],
+                np.float64,
+            )
+            group_events, _ = self._assemble_from_arrays(
+                begins, ends, mask, vel_d, of_d, pres_d, last_frame_idx,
+                begin_times=begin_times,
+            )
+            for g_idx in range(n_ok):
+                lo = g_idx * n_grp
+                consume_group(
+                    groups[g_idx],
+                    group_events[lo : lo + len(groups[g_idx])],
+                    shifted=True,
+                )
+            _mark("assemble")
 
         if fallback_from is not None:
             # resume with the host-walk path from the overflowing group, with
             # the start positions the device chain carried to that point
-            guarded = np.pad(link, ((0, 0), (0, segment_size)))
+            # (link is unpadded: re-apply the padded-timeline zeros here)
+            pad = math.ceil(pad_time_begin * self.fs)
+            guarded = np.pad(link, ((0, 0), (pad, pad + segment_size)))
             dev_audio = jax.device_put(guarded, plan["device"])
             slice_fn = self._get_slice_fn(dev_audio.shape[-1], segment_size)
             starts_np = np.zeros((len(groups), segment_batch), np.int32)
