@@ -705,8 +705,10 @@ class TransKun:
         has_offset = (ends < last_frame_idx) | of_presence[..., 1]
         # monotonic clamps (ref ``:700-711``): start >= previous end,
         # end >= start + eps — a short K-length sweep of [N, P] vector ops
-        start_c = np.empty_like(start_raw)
-        end_c = np.empty_like(end_raw)
+        # zeros (not empty): slots past kmax_used stay untouched and later
+        # participate in whole-array arithmetic before masking
+        start_c = np.zeros_like(start_raw)
+        end_c = np.zeros_like(end_raw)
         last_end = np.zeros((n_batch, n_sym), np.float64)
         for e_idx in range(kmax_used):
             s = np.maximum(start_raw[..., e_idx], last_end)
@@ -1239,15 +1241,15 @@ class TransKun:
         n_sym = len(self.targetMIDIPitch)
 
         if segment_batch is None:
-            # pick the group size with the least padded-segment waste
-            # (padded slots cost full backbone compute); prefer the larger
-            # size on ties (fewer groups).  The jit cache holds one program
-            # per size, so a service converges to a handful of variants.
-            n_st = len(starts)
-            segment_batch = min(
-                range(2, 9),
-                key=lambda sb: (-(-n_st // sb) * sb - n_st, -sb),
-            )
+            # single-segment groups win on this chip+link, measured
+            # (scripts/bench_chunk_sweep.py, 64 s piece): sb=1 241x vs
+            # sb=3 185x vs sb=5 181x.  Two effects compound: the fused
+            # group program costs LESS per segment at sb=1 (13.9 ms vs
+            # ~19-20 at sb>=2, scripts/profile_group_compute.py) and
+            # one-step chunks give the finest upload/compute pipelining
+            # with zero padded-slot waste.  One compiled program serves
+            # every group of every piece length.
+            segment_batch = 1
 
         groups = [
             starts[g0 : g0 + segment_batch]
