@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--max-events", type=int, default=32)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
@@ -48,6 +49,8 @@ def main():
     from transkun_tpu.train import init_train_state, make_optimizer, make_train_step
 
     _, conf = load_default_conf()
+    if args.no_remat:
+        conf.useGradientCheckpoint = False
     dtype = jnp.bfloat16 if args.bf16 else None
     model = TransKun(conf, compute_dtype=dtype)
 

@@ -48,6 +48,13 @@ def main(argv=None):
     parser.add_argument("--dataLoaderWorkers", default=4, type=int,
                         help="host loader threads (reference flag parity; "
                         "threads not processes — numpy/scipy release the GIL)")
+    parser.add_argument("--gradientCheckpoint", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="encoder-block remat.  'auto' (default) keeps it "
+                        "ON: slope-measured at flagship B=2 bf16, remat is "
+                        "~10%% faster than storing activations (the encoder "
+                        "is HBM-bound, so recompute beats spill/reload) and "
+                        "it also enables large batches")
     parser.add_argument("--logEvery", default=8, type=int,
                         help="fetch/print train metrics every N steps; each "
                         "host fetch is a device sync (~27 ms on a tunneled "
@@ -80,6 +87,8 @@ def main(argv=None):
     from ..train.optim import QuantileClipState
 
     module_mod, conf = parse_conf_file(args.modelConf)
+    if args.gradientCheckpoint != "auto":
+        conf.useGradientCheckpoint = args.gradientCheckpoint == "on"
     model = module_mod.TransKun(
         conf, compute_dtype=jnp.bfloat16 if args.bf16 else None
     )

@@ -50,6 +50,15 @@ class ModelConfig:
     velocityDropoutProb: float = 0.1
     refinedOFDropoutProb: float = 0.1
 
+    # encoder-block rematerialization (the reference hardcodes
+    # torch.utils.checkpoint on every block, ``LayersTransformer.py:330-368``).
+    # Slope-measured at flagship B=2 bf16 on v5e: remat is ~10% FASTER than
+    # storing activations (fwd+bwd 115.6 vs 126.9 ms) — the encoder is
+    # HBM-bound, so recomputing beats spilling/reloading the per-block
+    # intermediates.  Keep True; ``cli/train.py --gradientCheckpoint``
+    # overrides for other shapes.
+    useGradientCheckpoint: bool = True
+
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
         known = {f.name for f in dataclasses.fields(cls)}

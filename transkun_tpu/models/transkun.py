@@ -122,6 +122,7 @@ class TransKunModule(nn.Module):
             dropout=conf.contextDropoutProb,
             n_layers=conf.nLayers,
             enabled_attn=tuple(conf.enabledAttn),
+            use_gradient_checkpoint=conf.useGradientCheckpoint,
             downsample_f=conf.downsampleF,
             dtype=self.compute_dtype,
         )
