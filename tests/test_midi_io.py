@@ -221,3 +221,34 @@ def test_dangling_note_on_held_to_track_end(tmp_path):
     # dangling note-on held to the final event time (pretty_midi behavior)
     assert abs(by_pitch[64].start - 0.5) < 1e-9
     assert abs(by_pitch[64].end - 1.0) < 1e-9
+
+
+def test_resolve_overlapping_vectorized_matches_scalar():
+    """The >512-event numpy fast path is semantics-identical to the scalar
+    loop, including same-pitch truncation chains, exact ties, and pedal
+    (negative-pitch) tracks."""
+    from transkun_tpu.data.note import (
+        _resolve_overlapping_scalar,
+        _resolve_overlapping_vec,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pitches = rng.integers(0, 12, n) * 3 + 40
+    pitches[:50] = -64  # pedal pseudo-track
+    starts = np.round(rng.uniform(0, 30, n), 3)
+    durs = np.round(rng.uniform(0.0, 1.0, n), 3)
+    notes = [
+        Note(float(s), float(s + d), int(p), int(v))
+        for s, d, p, v in zip(starts, durs, pitches, rng.integers(1, 127, n))
+    ]
+    # exact duplicates and shared onsets to exercise tie handling
+    notes += [n_.copy() for n_ in notes[:20]]
+
+    a = _resolve_overlapping_scalar([n_.copy() for n_ in notes])
+    b = _resolve_overlapping_vec([n_.copy() for n_ in notes])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert (x.start, x.end, x.pitch, x.velocity) == (
+            y.start, y.end, y.pitch, y.velocity,
+        )

@@ -1003,11 +1003,19 @@ class TransKun:
             params, ctx_a, ctx_b, criterion
         )
         overflow = overflow | (count > k_budget)
+        # pack the fetched payload tightly: the end-of-piece host fetch rides
+        # a ~26 MB/s link, so every byte per budget slot is serial tail time.
+        # src fits int16 whenever the flat (segment, track, k) index does;
+        # argmax velocities are MIDI 0-127 -> uint8 (mse stays f32)
+        if n * n_sym * k_max < 2**15:
+            src = src.astype(jnp.int16)
+        if velocity.dtype == jnp.int32:
+            velocity = velocity.astype(jnp.uint8)
         return (
             src,
             cb.astype(jnp.int16),
             ce.astype(jnp.int16),
-            velocity,  # int32 (argmax criteria) or f32 (mse)
+            velocity,
             of.astype(jnp.float32),
             pres,
             count,
@@ -1275,14 +1283,22 @@ class TransKun:
                 np.round(x * x.dtype.type(32768.0)), -32768, 32767
             ).astype(np.int16)
         else:
-            xs = x * x.dtype.type(32768.0)
-            xi = np.rint(xs)
-            # xs is exact (power-of-two scale), so xi == xs iff the waveform
-            # is int16-representable — no division pass needed
-            if np.abs(xi).max(initial=0.0) <= 32767 and np.array_equal(xi, xs):
-                link = xi.astype(np.int16)
-            else:
-                link = x.astype(np.float32)
+            # blocked single traversal (L2-resident blocks): scale by 2^15
+            # (exact), rint, and compare per block — xi == xs iff the
+            # waveform is int16-representable; bail to f32 on first failure
+            link16 = np.empty(x.shape, np.int16)
+            blk = 1 << 19
+            ok = True
+            for lo in range(0, x.shape[-1], blk):
+                xs = x[..., lo : lo + blk] * x.dtype.type(32768.0)
+                xi = np.rint(xs)
+                if np.abs(xi).max(initial=0.0) > 32767 or not np.array_equal(
+                    xi, xs
+                ):
+                    ok = False
+                    break
+                link16[..., lo : lo + blk] = xi
+            link = link16 if ok else x.astype(np.float32)
         _mark("quantize_check")
         # Upload-chunk grid, ANCHORED AT THE REAL AUDIO START (padded-
         # timeline position ``pad``): chunk j covers real samples
@@ -1368,7 +1384,10 @@ class TransKun:
         k_budget = (
             self.decode_k_budget
             if self.decode_k_budget is not None
-            else 2048 * (segment_batch + 1)
+            # 2048 events per segment ≈ 5x the densest real piano (≈50
+            # notes/s); the end-of-piece fetch pays ~17 B/slot on the link,
+            # so the budget directly prices the decode's serial tail
+            else 2048 * segment_batch
         )
         fused_fn = self._get_fused_chunk_fn(
             last_frame_idx, step_frames, segment_size, step_size,
