@@ -356,6 +356,9 @@ class TransKun:
         self.targetMIDIPitch = target_midi_pitches()
         self.module = TransKunModule(conf, compute_dtype)
         self._decode_fn = {}
+        # strong refs to param trees closed over by cached decode programs:
+        # keeps the id(params) cache key valid for the cache's lifetime
+        self._bound_params = {}
         self._zero_chunk = {}
         # streaming-decode capacities: per-track walk events and the
         # per-group compact transfer budget (overflow -> host-walk
@@ -853,6 +856,7 @@ class TransKun:
         k_budget: int = 8192,
         carve_off: int = 0,
         n_cover: int = 2,
+        params=None,
     ):
         """Chunk-streaming variant of the fused group program: takes
         ``n_cover`` adjacent fixed-size audio chunks instead of pre-sliced
@@ -867,19 +871,35 @@ class TransKun:
         overlap with ZERO duplicated bytes on the link (the 2x window overlap
         is materialized on device, not on the wire), and the zero padding
         around the piece never ships at all (those chunks resolve to a cached
-        device-resident zeros array)."""
-        key = (
+        device-resident zeros array).
+
+        When ``params`` is given, the returned callable takes
+        ``(start_pos, *chunks)`` with the param tree CLOSED OVER: jit lifts
+        closure arrays into the executable's constants once at trace time,
+        so the per-group call skips the Python flatten of the ~10^2-leaf
+        param dict — measurable on a 1-core host dispatching ~10 groups per
+        piece.  The cache entry holds a strong reference to ``params``, so
+        the id() key cannot be recycled while cached."""
+        geom = (
             "fused_chunk", last_frame_idx, step_frames, segment_size,
             step_size, segment_batch, k_max, k_budget, carve_off, n_cover,
         )
+        key = geom + (id(params) if params is not None else None,)
+        if key not in self._decode_fn and params is not None:
+            # bounded bindings per geometry: multi-device serving holds one
+            # per device (per-device replicated params), but callers that
+            # rebuild their param dict every call must not accumulate
+            # executables — evict oldest beyond a generous device-count cap
+            bound = [k for k in self._decode_fn if k[:-1] == geom and k[-1]]
+            for stale in bound[: max(0, len(bound) - 15)]:
+                del self._decode_fn[stale]
+                self._bound_params.pop(stale, None)
         if key not in self._decode_fn:
             rel = np.arange(segment_batch, dtype=np.int32) * step_size
             # last window's right edge, relative to the first covering chunk
             cover = carve_off + (segment_batch - 1) * step_size + segment_size
 
-            @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
-            def fn(params, start_pos, *chunks, criterion="hamming",
-                   onset_bound=-1):
+            def body(p, start_pos, chunks, criterion, onset_bound):
                 audio_cat = jnp.concatenate(list(chunks), axis=-1)[..., :cover]
                 seg_audio = jax.vmap(
                     lambda s: jax.lax.dynamic_slice_in_dim(
@@ -887,9 +907,29 @@ class TransKun:
                     )
                 )(jnp.asarray(rel))
                 return self._fused_group_traced(
-                    params, seg_audio, start_pos, criterion, onset_bound,
+                    p, seg_audio, start_pos, criterion, onset_bound,
                     last_frame_idx, step_frames, k_max, k_budget,
                 )
+
+            if params is None:
+
+                @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
+                def fn(params, start_pos, *chunks, criterion="hamming",
+                       onset_bound=-1):
+                    return body(params, start_pos, chunks, criterion,
+                                onset_bound)
+
+            else:
+                captured = params  # real closure var: jit lifts the leaves
+                # into traced-once constants, NOT per-call arguments
+
+                @partial(jax.jit, static_argnames=("criterion", "onset_bound"))
+                def fn(start_pos, *chunks, criterion="hamming",
+                       onset_bound=-1):
+                    return body(captured, start_pos, chunks, criterion,
+                                onset_bound)
+
+                self._bound_params[key] = params
 
             self._decode_fn[key] = fn
         return self._decode_fn[key]
@@ -1392,6 +1432,7 @@ class TransKun:
         fused_fn = self._get_fused_chunk_fn(
             last_frame_idx, step_frames, segment_size, step_size,
             segment_batch, k_max, k_budget, carve_off, n_cover,
+            params=params,
         )
         ob = onset_bound if onset_bound is not None else -1
         handles: Dict[int, tuple] = {}
@@ -1408,7 +1449,6 @@ class TransKun:
                 j0 = (k * segment_batch * step_size - pad) // chunk_len
                 ensure_chunks(list(range(j0, j0 + n_cover)))
                 out = fused_fn(
-                    params,
                     start_dev,
                     *(dev_chunks[j] for j in range(j0, j0 + n_cover)),
                     criterion=velocity_criterion,
