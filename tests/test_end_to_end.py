@@ -266,3 +266,60 @@ def test_full_pipeline(corpus, tmp_path):
     metrics = json.load(open(out_json))
     assert "note" in metrics["aggregated"]
     assert metrics["detailed"][0]["name"].endswith("piece3.midi")
+
+
+def test_chunk_steps_and_group_size_variants_match(corpus):
+    """Every (segment_batch, decode_chunk_steps) geometry — including
+    out-of-range chunk_steps values that get clamped — decodes to the
+    identical note list: the upload-chunk grid and carve offset are pure
+    plumbing."""
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    root, _ = corpus
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+    fs, audio = wavfile.read(str(root / "2020" / "piece2.wav"))
+    audio = (audio.astype(np.float32) / 32768.0)[:, None]
+
+    ref_notes = model.transcribe(params, audio)  # defaults: sb=1, m=1
+    assert len(ref_notes) > 0
+    for sb, m in [(1, 3), (3, 1), (3, 2), (4, 2), (2, 0), (2, -5)]:
+        m2 = TransKun(conf)
+        m2.decode_chunk_steps = m
+        got = m2.transcribe(params, audio, segment_batch=sb)
+        assert len(got) == len(ref_notes), (sb, m)
+        # re-sort by (pitch, start) and compare pairwise with a 10 us time
+        # tolerance: batched (sb>1) and unbatched GEMMs reduce in different
+        # orders, so refined offsets carry ~1e-7 noise that can even flip
+        # the global (start, end, pitch) sort of near-simultaneous notes
+        key = lambda n: (n.pitch, n.start)
+        for a, b in zip(sorted(got, key=key), sorted(ref_notes, key=key)):
+            assert (a.pitch, a.velocity) == (b.pitch, b.velocity), (sb, m)
+            assert abs(a.start - b.start) < 1e-5, (sb, m)
+            assert abs(a.end - b.end) < 1e-5, (sb, m)
+
+
+def test_bound_decode_program_cache_capped():
+    """Rebuilding the params dict every call must not accumulate closed-over
+    decode executables: per geometry, at most 16 bindings stay cached."""
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+    rng = np.random.default_rng(3)
+    audio = (rng.normal(size=(int(1.5 * conf.fs), 1)) * 0.05).astype(np.float32)
+
+    for _ in range(20):
+        fresh = jax.tree_util.tree_map(lambda a: a, params)  # new dict ids
+        model.transcribe(fresh, audio)
+    bound = [k for k in model._decode_fn if isinstance(k, tuple) and k and k[0] == "fused_chunk" and k[-1]]
+    assert 0 < len(bound) <= 16
+    assert len(model._bound_params) == len(bound)

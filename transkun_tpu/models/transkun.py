@@ -359,6 +359,8 @@ class TransKun:
         # strong refs to param trees closed over by cached decode programs:
         # keeps the id(params) cache key valid for the cache's lifetime
         self._bound_params = {}
+        # per-device param replicas reused across transcribe_many calls
+        self._replicated_params = {}
         self._zero_chunk = {}
         # streaming-decode capacities: per-track walk events and the
         # per-group compact transfer budget (overflow -> host-walk
@@ -1219,11 +1221,19 @@ class TransKun:
         if depth is None:
             depth = len(devs)
         # replicate the parameters once per device (jit follows its inputs'
-        # placement; mixed-device arguments would be an error)
-        params_by_dev = {
-            i: (params if d is None else jax.device_put(params, d))
-            for i, d in enumerate(devs)
-        }
+        # placement; mixed-device arguments would be an error) — cached per
+        # (source params, device) so repeated serving calls reuse the SAME
+        # replica objects and the closed-over decode programs never re-trace
+        cache = self._replicated_params
+        params_by_dev = {}
+        for i, d in enumerate(devs):
+            ck = (id(params), id(d))
+            if ck not in cache:
+                cache[ck] = (
+                    params if d is None else jax.device_put(params, d),
+                    params,  # strong ref pins id(params)
+                )
+            params_by_dev[i] = cache[ck][0]
         q = deque()
         for i, item in enumerate(pieces):
             x = item[1] if isinstance(item, tuple) else item
@@ -1361,6 +1371,7 @@ class TransKun:
                     chunk_steps = cand
                     break
         else:
+            chunk_steps = max(1, min(chunk_steps, segment_batch))
             while segment_batch % chunk_steps:
                 chunk_steps -= 1
         chunk_len = chunk_steps * step_size
