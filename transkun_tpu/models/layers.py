@@ -78,35 +78,62 @@ def grid_coords(*axes: Array) -> Array:
     return jnp.stack(mesh, axis=-1)
 
 
+class _Kernel(nn.Module):
+    """Bias-free projection parameter with ``nn.Dense``'s exact param tree
+    ({'kernel'}) and init — calling it returns the RAW kernel so parents can
+    concat-fuse several projections of one tensor into a single GEMM."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param(
+            "kernel",
+            nn.initializers.xavier_uniform(),
+            (self.in_features, self.features),
+        )
+
+
 class MultiHeadAttention(nn.Module):
     """MHA with separate unbiased q/k/v projections and a biased out
     projection (ref ``MultiHeadAttentionKernel``, ``:119-190``).  Attends over
     axis -2 of arbitrarily-batched inputs.  head_dim =
-    ceil(hiddenFactor*embed/num_heads)."""
+    ceil(hiddenFactor*embed/num_heads).
+
+    Setup-style so callers can fetch the raw k/v kernels (``kv_kernels``)
+    and feed precomputed projections to ``attend`` — the axial blocks
+    concat-fuse every k/v projection of the shared ``mem`` tensor into one
+    GEMM (see ``BasicBlock``)."""
 
     embed_dim: int
     num_heads: int
     hidden_factor: float = 1.0
     dtype: Any = None  # computation dtype (params stay fp32)
 
-    @nn.compact
-    def __call__(self, query: Array, key: Optional[Array] = None) -> Array:
-        if key is None:
-            key = query
-        value = key
-        head_dim = int(math.ceil(math.ceil(self.hidden_factor * self.embed_dim) / self.num_heads))
-        hidden = head_dim * self.num_heads
-
-        dense = lambda name: nn.Dense(
-            hidden, use_bias=False, kernel_init=nn.initializers.xavier_uniform(),
-            dtype=self.dtype, name=name,
+    def setup(self):
+        head_dim = int(
+            math.ceil(math.ceil(self.hidden_factor * self.embed_dim) / self.num_heads)
         )
-        q = dense("q_proj")(query)
-        k = dense("k_proj")(key)
-        v = dense("v_proj")(value)
+        self.head_dim = head_dim
+        self.hidden = head_dim * self.num_heads
+        self.q_proj = _Kernel(self.embed_dim, self.hidden)
+        self.k_proj = _Kernel(self.embed_dim, self.hidden)
+        self.v_proj = _Kernel(self.embed_dim, self.hidden)
+        self.out_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
 
-        # Fused Pallas attention on TPU (logits never touch HBM); identical
-        # math via plain einsums elsewhere (ops/attention_pallas.py).
+    def kv_kernels(self) -> Tuple[Array, Array]:
+        return self.k_proj(), self.v_proj()
+
+    def attend(self, query: Array, k: Array, v: Array) -> Array:
+        """Attention with ALREADY-PROJECTED k/v ``[..., S, hidden]``;
+        ``query`` is raw and projected here."""
+        from flax.linen.dtypes import promote_dtype
+
+        query, wq = promote_dtype(query, self.q_proj(), dtype=self.dtype)
+        q = query @ wq
+
+        # Exp-trick attention via XLA einsums (ops/attention_pallas.py).
         from ..ops import attention_pallas
 
         # leading (batch) dims broadcast between query and key/value (the
@@ -115,14 +142,24 @@ class MultiHeadAttention(nn.Module):
         q = jnp.broadcast_to(q, lead + q.shape[-2:])
         k = jnp.broadcast_to(k, lead + k.shape[-2:])
         v = jnp.broadcast_to(v, lead + v.shape[-2:])
-        qf = q.reshape(-1, q.shape[-2], hidden)
-        kf = k.reshape(-1, k.shape[-2], hidden)
-        vf = v.reshape(-1, v.shape[-2], hidden)
+        qf = q.reshape(-1, q.shape[-2], self.hidden)
+        kf = k.reshape(-1, k.shape[-2], self.hidden)
+        vf = v.reshape(-1, v.shape[-2], self.hidden)
         out = attention_pallas.attention(
-            qf, kf, vf, self.num_heads, 1.0 / math.sqrt(head_dim)
+            qf, kf, vf, self.num_heads, 1.0 / math.sqrt(self.head_dim)
         )
-        out = out.reshape(*lead, q.shape[-2], hidden)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
+        out = out.reshape(*lead, q.shape[-2], self.hidden)
+        return self.out_proj(out)
+
+    def __call__(self, query: Array, key: Optional[Array] = None) -> Array:
+        from flax.linen.dtypes import promote_dtype
+
+        if key is None:
+            key = query
+        wk, wv = self.kv_kernels()
+        key_k, wk = promote_dtype(key, wk, dtype=self.dtype)
+        key_v, wv = promote_dtype(key, wv, dtype=self.dtype)
+        return self.attend(query, key_k @ wk, key_v @ wv)
 
 
 def _layer_scale_init(key, shape):
@@ -131,7 +168,10 @@ def _layer_scale_init(key, shape):
 
 class AttnResBlock(nn.Module):
     """Prenorm attention residual with LayerScale init 1e-2 (ref ``:88-99``):
-    x + dropout(MHA(rms_norm(x), mem)) * scale."""
+    x + dropout(MHA(rms_norm(x), mem)) * scale.
+
+    ``kv`` (already-projected key/value tensors) bypasses the block's own
+    k/v GEMMs — used by ``BasicBlock``'s fused shared-mem projection."""
 
     size: int
     num_heads: int
@@ -139,15 +179,24 @@ class AttnResBlock(nn.Module):
     dropout: float
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x, mem, deterministic: bool):
-        scale = self.param("scale", _layer_scale_init, (self.size,))
-        h = MultiHeadAttention(
+    def setup(self):
+        self.scale = self.param("scale", _layer_scale_init, (self.size,))
+        self.mha = MultiHeadAttention(
             self.size, self.num_heads, self.hidden_factor_attn, dtype=self.dtype,
-            name="mha",
-        )(rms_norm(x).astype(self.dtype or x.dtype), mem)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return x + (h * scale).astype(x.dtype)
+        )
+        self.drop = nn.Dropout(self.dropout)
+
+    def kv_kernels(self) -> Tuple[Array, Array]:
+        return self.mha.kv_kernels()
+
+    def __call__(self, x, mem, deterministic: bool, kv=None):
+        q_in = rms_norm(x).astype(self.dtype or x.dtype)
+        if kv is None:
+            h = self.mha(q_in, mem)
+        else:
+            h = self.mha.attend(q_in, *kv)
+        h = self.drop(h, deterministic=deterministic)
+        return x + (h * self.scale).astype(x.dtype)
 
 
 class _DenseParams(nn.Module):
@@ -222,6 +271,8 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        from ..ops import attention_pallas
+
         mem = x
         h = x
         kw = dict(
@@ -235,34 +286,87 @@ class BasicBlock(nn.Module):
             size=self.size, hidden_factor=self.hidden_factor, dropout=self.dropout,
             dtype=self.dtype,
         )
+        blkF = AttnResBlock(**kw, name="mhaBlockF") if "F" in self.enabled else None
+        blkT = AttnResBlock(**kw, name="mhaBlockT") if "T" in self.enabled else None
+        blkA = (
+            AttnResBlock(**kw, name="mhaBlockAll0")
+            if ("All0" in self.enabled or "0All" in self.enabled)
+            else None
+        )
+        blkFT = AttnResBlock(**kw, name="mhaBlockFT") if "FT" in self.enabled else None
 
-        if "F" in self.enabled:
-            h = AttnResBlock(**kw, name="mhaBlockF")(h, mem, deterministic)
+        # every attention in the block reads the SAME block input ``mem`` as
+        # keys/values (directly, transposed, sliced, or flattened) — so all
+        # their k/v projections can ride ONE concat GEMM over mem instead of
+        # 6-8 narrow ones (opt-in; see ops.attention_pallas.use_fused_kv)
+        kvs = {}
+        if attention_pallas.use_fused_kv():
+            from flax.linen.dtypes import promote_dtype
+
+            owners = [b for b in (blkF, blkT, blkA, blkFT) if b is not None]
+            kernels = [w for b in owners for w in b.kv_kernels()]
+            args = promote_dtype(mem, *kernels, dtype=self.dtype)
+            mem_p, kernels = args[0], args[1:]
+            fused = mem_p @ jnp.concatenate(kernels, axis=1)
+            off = 0
+            for b, wk in zip(owners, kernels[::2]):
+                hid = wk.shape[1]
+                kvs[b.name] = (
+                    fused[..., off : off + hid],
+                    fused[..., off + hid : off + 2 * hid],
+                )
+                off += 2 * hid
+
+        def kv_of(blk, transform):
+            if blk.name not in kvs:
+                return None
+            k, v = kvs[blk.name]
+            return transform(k), transform(v)
+
+        if blkF is not None:
+            h = blkF(h, mem, deterministic, kv=kv_of(blkF, lambda a: a))
             h = FFNResBlock(**ffn_kw, name="fnnBlockF")(h, deterministic)
 
         h = jnp.swapaxes(h, -3, -2)  # [N, F, T, D]
         mem_t = jnp.swapaxes(mem, -3, -2)
+        swap = lambda a: jnp.swapaxes(a, -3, -2)
 
-        if "T" in self.enabled:
-            h = AttnResBlock(**kw, name="mhaBlockT")(h, mem_t, deterministic)
+        if blkT is not None:
+            h = blkT(h, mem_t, deterministic, kv=kv_of(blkT, swap))
             h = FFNResBlock(**ffn_kw, name="fnnBlockT")(h, deterministic)
 
-        if "All0" in self.enabled or "0All" in self.enabled:
+        if blkA is not None:
             h0, h1 = h[..., :1, :, :], h[..., 1:, :, :]
-            attn = AttnResBlock(**kw, name="mhaBlockAll0")
             if "All0" in self.enabled:
-                h1 = attn(h1, mem_t[..., 0:1, :, :], deterministic)
+                h1 = blkA(
+                    h1, mem_t[..., 0:1, :, :], deterministic,
+                    kv=kv_of(blkA, lambda a: swap(a)[..., 0:1, :, :]),
+                )
             if "0All" in self.enabled:
                 flat = mem_t.reshape(*mem_t.shape[:-3], 1, -1, mem_t.shape[-1])
-                h0 = attn(h0, flat, deterministic)
+                h0 = blkA(
+                    h0, flat, deterministic,
+                    kv=kv_of(
+                        blkA,
+                        lambda a: swap(a).reshape(
+                            *a.shape[:-3], 1, -1, a.shape[-1]
+                        ),
+                    ),
+                )
             h = jnp.concatenate([h0, h1], axis=-3)
             h = FFNResBlock(**ffn_kw, name="fnnBlockAll0")(h, deterministic)
 
-        if "FT" in self.enabled:
+        if blkFT is not None:
             nf, nt = h.shape[-3], h.shape[-2]
             hf = h.reshape(*h.shape[:-3], nf * nt, h.shape[-1])
             memf = mem_t.reshape(*mem_t.shape[:-3], nf * nt, mem_t.shape[-1])
-            hf = AttnResBlock(**kw, name="mhaBlockFT")(hf, memf, deterministic)
+            hf = blkFT(
+                hf, memf, deterministic,
+                kv=kv_of(
+                    blkFT,
+                    lambda a: swap(a).reshape(*a.shape[:-3], nf * nt, a.shape[-1]),
+                ),
+            )
             hf = FFNResBlock(**ffn_kw, name="fnnBlockFT")(hf, deterministic)
             h = hf.reshape(*h.shape[:-3], nf, nt, h.shape[-1])
 

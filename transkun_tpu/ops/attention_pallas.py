@@ -55,6 +55,14 @@ def use_pallas_attention() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def use_fused_kv() -> bool:
+    """Concat-fuse every k/v projection of a BasicBlock's shared ``mem``
+    into one GEMM (``models/layers.py::BasicBlock``).  Opt-in pending an
+    on-chip win: the separate projections already run at ~60% of the HBM
+    roofline, so the headroom is <=0.07 ms/layer (ARCHITECTURE roofline)."""
+    return bool(os.environ.get("TRANSKUN_TPU_FUSED_KV"))
+
+
 def _pick_group(b: int) -> int:
     for g in (8, 4, 2):
         if b % g == 0:
