@@ -22,9 +22,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--platform", default=None,
+                    help="pin the jax backend (e.g. 'cpu').  Must go through "
+                    "jax.config BEFORE backend init: the axon TPU plugin in "
+                    "this environment ignores the JAX_PLATFORMS env var")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 

@@ -15,17 +15,22 @@ import sys
 import pytest
 
 
-def _run(steps):
+def _run(steps, platform=None):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {
         k: v
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    cmd = [sys.executable, os.path.join(repo, "scripts", "learning_f1.py"),
+           "--steps", str(steps)]
+    if platform:
+        # pinned through jax.config inside the script: the axon plugin
+        # ignores JAX_PLATFORMS, and with a degraded link even backend
+        # init hangs — the CPU fallback must never touch it
+        cmd += ["--platform", platform]
     out = subprocess.run(
-        [sys.executable, os.path.join(repo, "scripts", "learning_f1.py"),
-         "--steps", str(steps)],
-        capture_output=True, text=True, timeout=1800, env=env, cwd=repo,
+        cmd, capture_output=True, text=True, timeout=1800, env=env, cwd=repo,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -35,13 +40,17 @@ def _run(steps):
 def _has_tpu():
     import subprocess as sp
 
-    probe = sp.run(
-        [sys.executable, "-c",
-         "import jax; print(jax.devices()[0].platform)"],
-        capture_output=True, text=True, timeout=300,
-        env={k: v for k, v in os.environ.items()
-             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
-    )
+    try:
+        probe = sp.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+        )
+    except sp.TimeoutExpired:
+        # degraded tunnel: backend init can hang outright — treat as no TPU
+        return False
     return probe.returncode == 0 and "tpu" in probe.stdout
 
 
@@ -49,7 +58,7 @@ def _has_tpu():
 def test_learns_to_transcribe_synthetic_tones():
     if not _has_tpu():
         # CPU fallback: assert the loop learns (loss collapse), looser F1 bar
-        m = _run(steps=250)
+        m = _run(steps=250, platform="cpu")
         print(f"LEARNING_F1(cpu-smoke) {m}")
         assert m["loss_last"] < m["loss_first"] * 0.2, m
         return
