@@ -1229,6 +1229,8 @@ class TransKun:
         for i, d in enumerate(devs):
             ck = (id(params), id(d))
             if ck not in cache:
+                for stale in list(cache)[: max(0, len(cache) - 31)]:
+                    del cache[stale]  # cap: replicas pin device memory
                 cache[ck] = (
                     params if d is None else jax.device_put(params, d),
                     params,  # strong ref pins id(params)
