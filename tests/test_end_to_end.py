@@ -323,3 +323,37 @@ def test_bound_decode_program_cache_capped():
     bound = [k for k in model._decode_fn if isinstance(k, tuple) and k and k[0] == "fused_chunk" and k[-1]]
     assert 0 < len(bound) <= 16
     assert len(model._bound_params) == len(bound)
+
+
+def test_quantize_link_auto_detect():
+    """_quantize_link: int16-exact waveforms ship int16 bit-exactly; a single
+    non-representable sample (even in the last block) falls back to f32; the
+    forced modes behave as documented."""
+    from transkun_tpu.models.transkun import _quantize_link
+
+    rng = np.random.default_rng(0)
+    n = (1 << 19) * 2 + 1000  # spans 3 traversal blocks
+    ints = rng.integers(-32768, 32768, size=(1, n)).astype(np.float32)
+    exact = ints / 32768.0
+
+    q = _quantize_link(exact, None)
+    assert q.dtype == np.int16 and np.array_equal(q, ints.astype(np.int16))
+
+    # poison one sample in the LAST block -> f32 fallback
+    poisoned = exact.copy()
+    poisoned[0, -7] += 1e-6
+    q = _quantize_link(poisoned, None)
+    assert q.dtype == np.float32 and np.array_equal(q, poisoned)
+
+    # out-of-range (>= 1.0) is not representable either
+    loud = exact.copy()
+    loud[0, 3] = 1.0
+    assert _quantize_link(loud, None).dtype == np.float32
+
+    assert _quantize_link(exact, False).dtype == np.float32
+    forced = _quantize_link(loud, True)
+    assert forced.dtype == np.int16 and forced[0, 3] == 32767  # clipped
+
+    # int16 input passes through untouched
+    i16 = ints.astype(np.int16)
+    assert _quantize_link(i16, None) is i16

@@ -340,6 +340,38 @@ def log_prob_padded(
     return logp + attr
 
 
+def _quantize_link(x: np.ndarray, mode: Optional[bool]) -> np.ndarray:
+    """Pick the link dtype for a waveform ``[C, n]``: int16 when every sample
+    is exactly int16/2^15 (every decoded wav/mp3 is — halves link traffic,
+    device dequantizes), else float32.  ``mode``: None = auto-detect,
+    False = force f32, True = force (clipping) int16.
+
+    The auto-detect runs as ONE blocked traversal (L2-resident blocks,
+    early bailout): scale by 2^15 is exact in f32, so rint(xs) == xs iff
+    the block is int16-representable."""
+    if x.dtype == np.int16:
+        return x
+    if mode is False:
+        return x.astype(np.float32)
+    if mode is True:
+        return np.clip(
+            np.round(x * x.dtype.type(32768.0)), -32768, 32767
+        ).astype(np.int16)
+    link16 = np.empty(x.shape, np.int16)
+    blk = 1 << 19
+    for lo in range(0, x.shape[-1], blk):
+        xs = x[..., lo : lo + blk] * x.dtype.type(32768.0)
+        xi = np.rint(xs)
+        if (
+            xi.max(initial=0.0) > 32767
+            or xi.min(initial=0.0) < -32768  # -1.0 IS representable
+            or not np.array_equal(xi, xs)
+        ):
+            return x.astype(np.float32)
+        link16[..., lo : lo + blk] = xi
+    return link16
+
+
 class TransKun:
     """Host-facing model: owns the config and orchestrates device programs
     plus host decode/assembly.  Mirrors the reference class API."""
@@ -1325,32 +1357,7 @@ class TransKun:
         # two adjacent chunks — no byte crosses the link twice.  When the
         # waveform is int16-exact (every decoded wav/mp3 is), chunks ship as
         # int16 and dequantize on device, halving the link traffic.
-        if x.dtype == np.int16:
-            link = x
-        elif self.decode_link_int16 is False:
-            link = x.astype(np.float32)
-        elif self.decode_link_int16 is True:
-            # forced: quantize (clipping) even if not exactly representable
-            link = np.clip(
-                np.round(x * x.dtype.type(32768.0)), -32768, 32767
-            ).astype(np.int16)
-        else:
-            # blocked single traversal (L2-resident blocks): scale by 2^15
-            # (exact), rint, and compare per block — xi == xs iff the
-            # waveform is int16-representable; bail to f32 on first failure
-            link16 = np.empty(x.shape, np.int16)
-            blk = 1 << 19
-            ok = True
-            for lo in range(0, x.shape[-1], blk):
-                xs = x[..., lo : lo + blk] * x.dtype.type(32768.0)
-                xi = np.rint(xs)
-                if np.abs(xi).max(initial=0.0) > 32767 or not np.array_equal(
-                    xi, xs
-                ):
-                    ok = False
-                    break
-                link16[..., lo : lo + blk] = xi
-            link = link16 if ok else x.astype(np.float32)
+        link = _quantize_link(x, self.decode_link_int16)
         _mark("quantize_check")
         # Upload-chunk grid, ANCHORED AT THE REAL AUDIO START (padded-
         # timeline position ``pad``): chunk j covers real samples
