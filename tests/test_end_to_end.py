@@ -304,8 +304,9 @@ def test_chunk_steps_and_group_size_variants_match(corpus):
 
 
 def test_bound_decode_program_cache_capped():
-    """Rebuilding the params dict every call must not accumulate closed-over
-    decode executables: per geometry, at most 16 bindings stay cached."""
+    """The closed-over decode-program cache keys on param LEAF ids: a rebuilt
+    dict around the same arrays reuses its binding (no re-trace), swapped
+    leaves create new bindings, and per geometry at most 16 stay cached."""
     import jax
 
     from transkun_tpu.models import TransKun
@@ -317,10 +318,23 @@ def test_bound_decode_program_cache_capped():
     rng = np.random.default_rng(3)
     audio = (rng.normal(size=(int(1.5 * conf.fs), 1)) * 0.05).astype(np.float32)
 
-    for _ in range(20):
-        fresh = jax.tree_util.tree_map(lambda a: a, params)  # new dict ids
+    def bound_keys():
+        return [
+            k for k in model._decode_fn
+            if isinstance(k, tuple) and k and k[0] == "fused_chunk" and k[-1]
+        ]
+
+    model.transcribe(params, audio)
+    for _ in range(3):
+        # new dict containers around the SAME leaf arrays -> cache hit
+        model.transcribe(jax.tree_util.tree_map(lambda a: a, params), audio)
+    assert len(bound_keys()) == 1
+
+    for _ in range(19):
+        # new leaf arrays -> new binding each time, LRU-capped at 16
+        fresh = jax.tree_util.tree_map(lambda a: a + 0, params)
         model.transcribe(fresh, audio)
-    bound = [k for k in model._decode_fn if isinstance(k, tuple) and k and k[0] == "fused_chunk" and k[-1]]
+    bound = bound_keys()
     assert 0 < len(bound) <= 16
     assert len(model._bound_params) == len(bound)
 

@@ -102,12 +102,16 @@ def test_fused_kv_projection_matches_default():
             np.random.default_rng(0).normal(size=(2, 5, 7, 24)), jnp.float32
         )
         params = blk.init(jax.random.PRNGKey(1), x)
-        y_ref = blk.apply(params, x)
-        os.environ["TRANSKUN_TPU_FUSED_KV"] = "1"
+        saved = os.environ.pop("TRANSKUN_TPU_FUSED_KV", None)
         try:
+            y_ref = blk.apply(params, x)  # flag OFF regardless of caller env
+            os.environ["TRANSKUN_TPU_FUSED_KV"] = "1"
             y_fused = blk.apply(params, x)
         finally:
-            del os.environ["TRANSKUN_TPU_FUSED_KV"]
+            if saved is None:
+                os.environ.pop("TRANSKUN_TPU_FUSED_KV", None)
+            else:
+                os.environ["TRANSKUN_TPU_FUSED_KV"] = saved
         np.testing.assert_allclose(
             np.asarray(y_fused), np.asarray(y_ref), rtol=2e-5, atol=2e-5,
             err_msg=str(enabled),

@@ -912,18 +912,28 @@ class TransKun:
         closure arrays into the executable's constants once at trace time,
         so the per-group call skips the Python flatten of the ~10^2-leaf
         param dict — measurable on a 1-core host dispatching ~10 groups per
-        piece.  The cache entry holds a strong reference to ``params``, so
-        the id() key cannot be recycled while cached."""
+        piece.  The binding is keyed on the ids of the param LEAVES (a
+        rebuilt dict around the same arrays cache-hits; any leaf swap is a
+        new binding), kept LRU with a bounded size, and holds a strong
+        reference to the leaves so no id can be recycled while cached."""
         geom = (
             "fused_chunk", last_frame_idx, step_frames, segment_size,
             step_size, segment_batch, k_max, k_budget, carve_off, n_cover,
         )
-        key = geom + (id(params) if params is not None else None,)
-        if key not in self._decode_fn and params is not None:
+        if params is None:
+            key = geom + (None,)
+            leaves = None
+        else:
+            leaves = jax.tree_util.tree_leaves(params)
+            key = geom + (tuple(map(id, leaves)),)
+        if key in self._decode_fn:
+            # LRU touch: transient bindings must not evict the hot one
+            self._decode_fn[key] = self._decode_fn.pop(key)
+        elif params is not None:
             # bounded bindings per geometry: multi-device serving holds one
             # per device (per-device replicated params), but callers that
-            # rebuild their param dict every call must not accumulate
-            # executables — evict oldest beyond a generous device-count cap
+            # rebuild their param arrays every call must not accumulate
+            # executables — evict least-recently-used beyond a generous cap
             bound = [k for k in self._decode_fn if k[:-1] == geom and k[-1]]
             for stale in bound[: max(0, len(bound) - 15)]:
                 del self._decode_fn[stale]
@@ -963,7 +973,7 @@ class TransKun:
                     return body(captured, start_pos, chunks, criterion,
                                 onset_bound)
 
-                self._bound_params[key] = params
+                self._bound_params[key] = leaves
 
             self._decode_fn[key] = fn
         return self._decode_fn[key]
@@ -1257,15 +1267,23 @@ class TransKun:
         # (source params, device) so repeated serving calls reuse the SAME
         # replica objects and the closed-over decode programs never re-trace
         cache = self._replicated_params
+        src_leaves = jax.tree_util.tree_leaves(params)
+        src_key = tuple(map(id, src_leaves))
+        # LRU with a cap that always fits one full device sweep (replicas
+        # pin device memory; keyed on the source LEAVES so a rebuilt dict
+        # around the same arrays reuses its replicas)
+        cap = max(64, 2 * len(devs))
         params_by_dev = {}
         for i, d in enumerate(devs):
-            ck = (id(params), id(d))
-            if ck not in cache:
-                for stale in list(cache)[: max(0, len(cache) - 31)]:
-                    del cache[stale]  # cap: replicas pin device memory
+            ck = (src_key, id(d))
+            if ck in cache:
+                cache[ck] = cache.pop(ck)  # LRU touch
+            else:
+                for stale in list(cache)[: max(0, len(cache) + 1 - cap)]:
+                    del cache[stale]
                 cache[ck] = (
                     params if d is None else jax.device_put(params, d),
-                    params,  # strong ref pins id(params)
+                    src_leaves,  # strong ref pins the leaf ids
                 )
             params_by_dev[i] = cache[ck][0]
         q = deque()
@@ -1373,8 +1391,8 @@ class TransKun:
             # heuristic from measured link behavior (~10-15 ms fixed cost
             # per transfer + ~50 MB/s marginal): ~2-step chunks give
             # upload/compute overlap without drowning in per-transfer
-            # overhead; fall back to the group size when it has no even
-            # divisor (odd group sizes: 1-step chunks still amortize)
+            # overhead; group sizes with no even divisor fall back to
+            # 1-step (finest) chunks, which still amortize fine
             for cand in (2, 1):
                 if segment_batch % cand == 0:
                     chunk_steps = cand
