@@ -1,12 +1,15 @@
-"""Streaming-transcription benchmark at REALISTIC event density (VERDICT
-round-2 item 9).
+"""Streaming-transcription benchmark WITH the decoded event rate reported
+(VERDICT round-2 item 9).
 
-``bench.py`` biases the scorer diagonal to -8 so random weights emit a
-near-empty decode — honest about device work, but it underexercises the
-device-side event compaction (k_budget) and host note assembly.  This bench
-tunes the diagonal bias until the decode emits piano-realistic event
-density (~5-20 events/sec across 90 tracks), then times the same 64 s
-streaming transcribe.
+Finding (which reshaped this script): the decoded event rate of a
+random-init flagship model is INSENSITIVE to the scorer diagonal bias
+(~227 events/s at every bias in [-8, -4]) — the decodes are non-singleton
+intervals driven by the qk products, so ``bench.py``'s configuration
+already runs at ~10x realistic piano density (~10-20 events/s) and
+exercises compaction + host assembly HARDER than a trained model would.
+This bench therefore times the standard 64 s streaming transcribe and
+reports the measured events/sec alongside the RTF, rather than "tuning to
+realistic density" (which the bias cannot do on random weights).
 
 Run: python scripts/bench_density.py
 """
@@ -66,7 +69,7 @@ def main():
     rtf = dur / sorted(trials)[2]
 
     print(json.dumps({
-        "metric": "transcribe_rtf_realistic_density",
+        "metric": "transcribe_rtf_with_event_rate",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec/chip",
         "events_per_sec": round(len(notes) / dur, 2),

@@ -34,14 +34,18 @@ def _istft(spec, win, hop, length):
     norm = np.zeros_like(out)
     w2 = win * win
     # vectorized overlap-add: frame i, sub-block k covers (i+k)*hop+[0,hop),
-    # so each k-th column block scatters as one contiguous strided add
-    for k in range(n_fft // hop):
-        out[k * hop : k * hop + n * hop] += np.ascontiguousarray(
-            frames[:, k * hop : (k + 1) * hop]
-        ).ravel()
-        norm[k * hop : k * hop + n * hop] += np.tile(
-            w2[k * hop : (k + 1) * hop], n
-        )
+    # so each k-th column block scatters as one contiguous strided add; the
+    # final partial block (hop not dividing n_fft) pads its columns to a
+    # full hop so the same ravel-add applies
+    for k in range(-(-n_fft // hop)):
+        w = min(hop, n_fft - k * hop)
+        blk = frames[:, k * hop : k * hop + w]
+        wb = w2[k * hop : k * hop + w]
+        if w < hop:
+            blk = np.pad(blk, ((0, 0), (0, hop - w)))
+            wb = np.pad(wb, (0, hop - w))
+        out[k * hop : k * hop + n * hop] += np.ascontiguousarray(blk).ravel()
+        norm[k * hop : k * hop + n * hop] += np.tile(wb, n)
     out /= np.maximum(norm, 1e-8)
     return out[:length]
 
@@ -56,26 +60,25 @@ def time_stretch(x: np.ndarray, rate: float, n_fft: int = 2048, hop: int = 512):
     spec, win = _stft(x, n_fft, hop)
     n_in = spec.shape[0]
     steps = np.arange(0, n_in - 1, rate)
-    phase_adv = np.linspace(0, np.pi * hop, spec.shape[1])
+    phase_adv = np.linspace(0, np.pi * hop, spec.shape[1])  # float64
     # fully vectorized phase vocoder: the per-frame phase accumulator is a
     # cumulative sum of wrapped phase deltas, so the whole loop collapses to
-    # fancy indexing + cumsum (was a ~1400-iteration python loop per chunk)
-    phase_adv = phase_adv.astype(np.float32)
+    # fancy indexing + cumsum (was a ~1400-iteration python loop per chunk).
+    # Phase math stays in float64: the top-bin accumulator reaches ~2e6 rad
+    # over a 16 s chunk, where float32 ulp is ~0.25 rad
     idx = steps.astype(np.int64)
     frac = (steps - idx)[:, None].astype(np.float32)
     s0 = spec[idx]
     s1 = spec[np.minimum(idx + 1, n_in - 1)]
-    ang0 = np.angle(s0)
+    ang0 = np.angle(s0).astype(np.float64)
     mag = (1 - frac) * np.abs(s0) + frac * np.abs(s1)
     dphase = np.angle(s1) - ang0 - phase_adv
-    dphase -= np.float32(2 * np.pi) * np.round(dphase * np.float32(0.5 / np.pi))
+    dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
     inc = phase_adv + dphase  # phase increment applied AFTER frame t
     phase = np.empty_like(inc)
     phase[0] = np.angle(spec[0])
-    phase[1:] = np.angle(spec[0]) + np.cumsum(inc[:-1], axis=0, dtype=np.float32)
-    out = (mag * (np.cos(phase) + np.complex64(1j) * np.sin(phase))).astype(
-        np.complex64
-    )
+    phase[1:] = phase[0] + np.cumsum(inc[:-1], axis=0)
+    out = (mag * (np.cos(phase) + 1j * np.sin(phase))).astype(np.complex64)
     length = int(round(len(x) / rate))
     return _istft(out, win, hop, length)
 

@@ -352,6 +352,10 @@ class BatchLoader:
             order = order[: len(order) // batch_size * batch_size]
         self.order = order
         self._drop_last = drop_last
+        self._pool = None
+        import threading
+
+        self._aug_lock = threading.Lock()
 
     def __len__(self):
         if getattr(self, "_drop_last", True):
@@ -361,10 +365,26 @@ class BatchLoader:
     def _batch_indices(self, i):
         return self.order[i * self.batch_size : (i + 1) * self.batch_size]
 
+    def _fetch(self, j):
+        # same per-item augmentation seeding as the process path
+        # (_pool_fetch): the stream depends only on (loader seed, item
+        # index), never on worker identity or count.  With threads the
+        # augmentator's rng is SHARED, so seed+augment must not interleave —
+        # the lock costs nothing real because the augmentation chain is
+        # GIL-bound numpy anyway (threads never sped it up)
+        aug = getattr(self.data, "augmentator", None)
+        if aug is not None and getattr(aug, "rng", None) is not None:
+            with self._aug_lock:
+                aug.rng.seed(self.seed * 1_000_003 + j)
+                return self.data[j]
+        return self.data[j]
+
     def __iter__(self):
         if self.num_workers <= 0:
             for i in range(len(self)):
-                yield self.collate([self.data[j] for j in self._batch_indices(i)])
+                yield self.collate(
+                    [self._fetch(j) for j in self._batch_indices(i)]
+                )
             return
         if self.use_processes:
             yield from self._iter_processes()
@@ -372,7 +392,6 @@ class BatchLoader:
             yield from self._iter_threads()
 
     def _iter_threads(self):
-        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(self.num_workers) as pool:
@@ -382,28 +401,59 @@ class BatchLoader:
             # data[j]; collate runs on the consumer thread.
             def submit_batch(i):
                 return [
-                    pool.submit(self.data.__getitem__, j)
+                    pool.submit(self._fetch, j)
                     for j in self._batch_indices(i)
                 ]
 
             yield from self._drain(submit_batch)
 
+    def _ensure_pool(self):
+        """One long-lived worker pool per loader, reused across epochs.
+
+        Prefer the SPAWN context: the training CLI initializes JAX (runtime
+        threads, device buffers) before the first epoch, and forking a
+        multithreaded parent is a documented deadlock hazard.  Spawn needs
+        the dataset picklable; fall back to fork (torch DataLoader's
+        default posture) when it is not.  Either way the pool is created
+        ONCE, so the per-worker spawn import cost (~seconds) amortizes over
+        the whole run."""
+        if self._pool is None:
+            import multiprocessing as mp
+            import pickle
+
+            try:
+                pickle.dumps(self.data)
+                method = "spawn"
+            except Exception:
+                method = "fork"
+            ctx = mp.get_context(method)
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_pool_init,
+                initargs=(self.data, self.seed),
+            )
+        return self._pool
+
+    def close(self):
+        if getattr(self, "_pool", None) is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _iter_processes(self):
-        import multiprocessing as mp
+        pool = self._ensure_pool()
 
-        ctx = mp.get_context("fork")
-        with ctx.Pool(
-            self.num_workers, initializer=_pool_init,
-            initargs=(self.data, self.seed),
-        ) as pool:
+        def submit_batch(i):
+            return [
+                pool.apply_async(_pool_fetch, (j,))
+                for j in self._batch_indices(i)
+            ]
 
-            def submit_batch(i):
-                return [
-                    pool.apply_async(_pool_fetch, (j,))
-                    for j in self._batch_indices(i)
-                ]
-
-            yield from self._drain(submit_batch, lambda f: f.get())
+        yield from self._drain(submit_batch, lambda f: f.get())
 
     def _drain(self, submit_batch, result=lambda f: f.result()):
         from collections import deque

@@ -136,19 +136,27 @@ class MultiHeadAttention(nn.Module):
         # Exp-trick attention via XLA einsums (ops/attention_pallas.py).
         from ..ops import attention_pallas
 
-        # leading (batch) dims broadcast between query and key/value (the
-        # All0 path attends many query rows against one shared key row)
-        lead = jnp.broadcast_shapes(q.shape[:-2], k.shape[:-2])
-        q = jnp.broadcast_to(q, lead + q.shape[-2:])
-        k = jnp.broadcast_to(k, lead + k.shape[-2:])
-        v = jnp.broadcast_to(v, lead + v.shape[-2:])
-        qf = q.reshape(-1, q.shape[-2], self.hidden)
-        kf = k.reshape(-1, k.shape[-2], self.hidden)
-        vf = v.reshape(-1, v.shape[-2], self.hidden)
-        out = attention_pallas.attention(
-            qf, kf, vf, self.num_heads, 1.0 / math.sqrt(self.head_dim)
-        )
-        out = out.reshape(*lead, q.shape[-2], self.hidden)
+        scale = 1.0 / math.sqrt(self.head_dim)
+        if attention_pallas.use_pallas_attention():
+            # the opt-in Pallas kernel wants flat [B, S, D]: broadcast the
+            # leading (batch) dims between query and key/value explicitly
+            lead = jnp.broadcast_shapes(q.shape[:-2], k.shape[:-2])
+            q = jnp.broadcast_to(q, lead + q.shape[-2:])
+            k = jnp.broadcast_to(k, lead + k.shape[-2:])
+            v = jnp.broadcast_to(v, lead + v.shape[-2:])
+            out = attention_pallas.attention(
+                q.reshape(-1, q.shape[-2], self.hidden),
+                k.reshape(-1, k.shape[-2], self.hidden),
+                v.reshape(-1, v.shape[-2], self.hidden),
+                self.num_heads, scale,
+            )
+            out = out.reshape(*lead, q.shape[-2], self.hidden)
+        else:
+            # XLA path broadcasts leads inside its einsums — the All0 path's
+            # shared key/value row is never materialized per query row
+            out = attention_pallas.attention_xla(
+                q, k, v, self.num_heads, scale
+            )
         return self.out_proj(out)
 
     def __call__(self, query: Array, key: Optional[Array] = None) -> Array:

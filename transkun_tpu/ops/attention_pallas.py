@@ -237,8 +237,13 @@ def attention_xla(
     the einsum + jax.nn.softmax chain (0.34 ms vs 1.6 ms, same-run
     comparison; jax.nn.softmax alone costs ~4 HBM passes over the logits).
     Logits accumulate in fp32 (the old path did bf16 softmax), so this is
-    also the MORE precise formulation."""
-    b, sq, d = q.shape
+    also the MORE precise formulation.
+
+    Accepts ANY number of leading (batch) dims, and q vs k/v leads may
+    broadcast against each other (the All0 path attends many query rows
+    against one shared key row) — the einsums broadcast implicitly, so the
+    shared keys/values are never materialized per query row."""
+    d = q.shape[-1]
     head_dim = d // num_heads
 
     def split(x):
@@ -260,7 +265,8 @@ def attention_xla(
     )
     o_ext = jnp.einsum("...qk,...kd->...qd", p, v_ext)
     o = o_ext[..., :head_dim] / o_ext[..., head_dim:]
-    return jnp.swapaxes(o, -2, -3).reshape(b, sq, d).astype(q.dtype)
+    o = jnp.swapaxes(o, -2, -3)  # [..., Sq, heads, head_dim]
+    return o.reshape(*o.shape[:-2], d).astype(q.dtype)
 
 
 def attention(q: Array, k: Array, v: Array, num_heads: int, scale: float) -> Array:

@@ -37,9 +37,13 @@ def _call_kwargs():
 
 
 def use_pallas_softmax() -> bool:
-    # opt-in until a clean on-chip measurement beats jax.nn.softmax: the
-    # only benchmark so far ran during degraded link weather (all timings
-    # inflated ~10x, control GEMMs included) and was inconclusive.
+    # STUDY KERNEL, NOT WIRED INTO THE MODEL: the production attention went
+    # to the exp-trick formulation (ops/attention_pallas.attention_xla),
+    # which removes the explicit softmax entirely — so no model code calls
+    # softmax_last and TRANSKUN_TPU_FUSED_SOFTMAX has no effect on the
+    # model.  The kernel + tests are kept as the measured 2-pass reference
+    # (ARCHITECTURE "The attention-core study") for any future explicit-
+    # softmax call site.
     if os.environ.get("TRANSKUN_TPU_NO_PALLAS"):
         return False
     if not os.environ.get("TRANSKUN_TPU_FUSED_SOFTMAX"):

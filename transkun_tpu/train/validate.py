@@ -5,10 +5,10 @@ loader.
 Distribution strategy (the reference shards validation across workers and
 all_reduces a 5-vector, ``TrainUtil.py:254-263`` / ``train.py:319-351``):
 
-* within one process, batches round-robin over the local ``devices`` — one
-  thread per device, parameters replicated once per device, each device
-  running its own log_prob/decode programs (validation wall time scales
-  ~1/n_devices);
+* within one process, one thread per local device pulls batches from the
+  shared loader stream (parameters replicated once per device, each device
+  running its own log_prob/decode programs; wall time scales ~1/n_devices
+  and the split never materializes in host RAM);
 * across processes, each rank validates its own loader shard
   (``BatchLoader(rank=, world_size=)``) and the aggregate 5-vector is summed
   with ``aggregate_across_processes`` before deriving metrics.
@@ -55,31 +55,43 @@ def _metrics_from_agg(agg: Dict[str, float]) -> Dict[str, float]:
 def validation_counts(
     model, params, loader, fs: int, devices: Optional[Sequence] = None
 ) -> Dict[str, float]:
-    """The raw 5-vector of this process's validation shard.  With more than
-    one device, batches are strided over a thread per device."""
-    batches = list(loader)
-    results: list = [None] * len(batches)
+    """The raw 5-vector of this process's validation shard.
 
-    if devices is not None and len(devices) > 1 and len(batches) > 1:
+    Batches STREAM from the loader (its prefetch pipeline keeps load and
+    compute overlapped; a full validation split never materializes in host
+    RAM).  With more than one device, one thread per device pulls the next
+    batch from the shared iterator — dynamic balancing, wall time ~1/n."""
+    results: Dict[int, Dict[str, float]] = {}
+
+    if devices is not None and len(devices) > 1:
+        import threading
+
         import jax
 
         per_dev_params = [jax.device_put(params, d) for d in devices]
+        it = enumerate(iter(loader))
+        lock = threading.Lock()
 
-        def run_stride(d_idx: int) -> None:
-            for i in range(d_idx, len(batches), len(devices)):
-                b = batches[i]
+        def run_worker(d_idx: int) -> None:
+            while True:
+                with lock:
+                    nxt = next(it, None)
+                if nxt is None:
+                    return
+                i, b = nxt
                 results[i] = compute_metrics(
                     model, per_dev_params[d_idx], b["audioSlices"], b["notes"]
                 )
 
         with ThreadPoolExecutor(max_workers=len(devices)) as ex:
-            list(ex.map(run_stride, range(len(devices))))
+            list(ex.map(run_worker, range(len(devices))))
     else:
-        for i, b in enumerate(batches):
+        for i, b in enumerate(loader):
             results[i] = compute_metrics(model, params, b["audioSlices"], b["notes"])
 
     agg = dict.fromkeys(AGG_KEYS, 0.0)
-    for r in results:  # batch-index order: bit-identical to the serial sum
+    for i in sorted(results):  # batch-index order: identical to serial sum
+        r = results[i]
         agg["logProb"] += r["logProb"]
         agg["length"] += r["length"] / fs
         for k in ("nGT", "nEst", "nCorrect"):
