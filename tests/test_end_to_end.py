@@ -371,3 +371,40 @@ def test_quantize_link_auto_detect():
     # int16 input passes through untouched
     i16 = ints.astype(np.int16)
     assert _quantize_link(i16, None) is i16
+
+
+def test_transcribe_boundary_piece_lengths(corpus):
+    """Chunk-grid edge cases: pieces shorter than one segment, lengths
+    landing exactly on segment/chunk boundaries, and one sample off either
+    side must all decode fused == host-walk-fallback."""
+    import math
+
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+    model_fb = TransKun(conf)
+    model_fb.decode_k_budget = 1  # force the host-walk fallback
+
+    step = math.ceil(conf.segmentHopSizeInSecond * conf.fs / conf.hopSize)
+    step *= conf.hopSize  # samples per segment step (== chunk at sb=1)
+    seg = math.ceil(conf.segmentSizeInSecond * conf.fs)
+    rng = np.random.default_rng(11)
+    for n in [step // 3, seg - 1, seg, seg + 1, 2 * step, 2 * step + 1,
+              3 * step - 1]:
+        tt = np.arange(n) / conf.fs
+        x = (0.1 * np.sin(2 * np.pi * 440 * tt)).astype(np.float32)
+        x += (rng.normal(size=n) * 0.01).astype(np.float32)
+        x = (np.round(np.clip(x, -1, 1) * 32000) / 32768).astype(np.float32)
+        audio = x[:, None]
+        a = model.transcribe(params, audio)
+        b = model_fb.transcribe(params, audio)
+        assert len(a) == len(b), n
+        for na, nb in zip(a, b):
+            assert (na.pitch, na.velocity, na.start, na.end) == (
+                nb.pitch, nb.velocity, nb.start, nb.end
+            ), n
