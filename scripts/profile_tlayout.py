@@ -68,7 +68,7 @@ def main():
     err = np.abs(ya - yb).max() / max(np.abs(ya).max(), 1e-6)
     print(f"rel err A vs B: {err:.2e}")
 
-    def slope(fn, n1=20, n2=80):
+    def slope(fn, n1=100, n2=800):
         out = fn(x, Wq, Wk, Wv, Wo)
         np.asarray(out[0, 0, 0, :1])
         def chain(n):
