@@ -1,0 +1,152 @@
+"""Generate a flagship-scale synthetic piano corpus in MAESTRO layout.
+
+Produces wav (44.1 kHz mono int16) + MIDI pairs with a meta.csv, then builds
+the {train,val,test}.pickle annotation files through the real dataset-build
+CLI — so a full-scale training run exercises the exact production pipeline
+(MIDI parse -> pedal extension -> interval index -> chunk iterator).
+
+The synth is piano-ish on purpose: per-note harmonic stacks with 1/k^2
+rolloff, exponential decay driven by velocity, chords and overlapping
+polyphony, and sustain-pedal (CC64) segments so the pedal event tracks get
+real supervision.  It is NOT meant to sound like a piano — it is meant to
+give the flagship model a learnable, polyphonic, pedal-bearing target at the
+exact operating shape of the shipped config (fs 44100, 16 s segments,
+90 tracks).
+
+Usage: python scripts/make_synth_corpus.py OUTDIR [--train 20 --val 3
+       --test 3 --dur 60]
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+from scipy.io import wavfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from transkun_tpu.data.note import Note, resolve_overlapping  # noqa: E402
+
+FS = 44100
+
+
+def synth_piece(rng: np.random.Generator, dur: float):
+    """Random polyphonic piece: returns (float32 audio, note list)."""
+    notes = []
+    t = float(rng.uniform(0.2, 0.6))
+    while t < dur - 1.0:
+        # a "hand": 1-4 simultaneous notes around a random center
+        center = int(rng.integers(36, 96))
+        n_poly = int(rng.integers(1, 5))
+        pitches = np.unique(
+            np.clip(center + rng.integers(-12, 13, size=n_poly), 21, 108)
+        )
+        length = float(rng.uniform(0.15, 1.2))
+        vel = int(rng.integers(30, 112))
+        for p in pitches:
+            # slight per-note length/velocity spread
+            plen = max(0.08, length * float(rng.uniform(0.85, 1.15)))
+            notes.append(
+                Note(t, min(t + plen, dur - 0.05), int(p),
+                     int(np.clip(vel + rng.integers(-8, 9), 1, 127)))
+            )
+        t += float(rng.uniform(0.12, 0.8))
+
+    # sustain pedal segments covering ~40% of the piece
+    t = float(rng.uniform(0.5, 2.0))
+    while t < dur - 2.0:
+        seg = float(rng.uniform(0.8, 3.0))
+        notes.append(Note(t, min(t + seg, dur - 0.1), -64, 127))
+        t += seg + float(rng.uniform(1.0, 4.0))
+
+    x = np.zeros(int(dur * FS), np.float32)
+    tt = np.arange(len(x), dtype=np.float32) / FS
+    for n in notes:
+        if n.pitch <= 0:
+            continue
+        f0 = 440.0 * 2.0 ** ((n.pitch - 69) / 12.0)
+        i0, i1 = int(n.start * FS), int(n.end * FS)
+        seg_t = tt[i0:i1] - np.float32(n.start)
+        amp = 0.08 * (n.velocity / 127.0)
+        # velocity-dependent decay, faster for high pitches (piano-ish)
+        decay = np.exp(-seg_t * (1.5 + f0 / 2000.0)).astype(np.float32)
+        tone = np.zeros_like(seg_t)
+        for k in range(1, 7):
+            fk = f0 * k
+            if fk >= FS / 2:
+                break
+            tone += (1.0 / k**2) * np.sin(
+                2 * np.pi * fk * seg_t + float(rng.uniform(0, 2 * np.pi))
+            ).astype(np.float32)
+        # 5 ms attack ramp to avoid clicks (and give onsets a clean edge)
+        attack = np.minimum(seg_t / 0.005, 1.0).astype(np.float32)
+        x[i0:i1] += amp * attack * decay * tone
+    # light tape hiss so the model sees a non-zero noise floor
+    x += rng.normal(0, 1e-4, size=len(x)).astype(np.float32)
+    # same-pitch re-strikes overlap freely during generation; truncate like
+    # the data layer does so the MIDI is valid
+    notes = resolve_overlapping(sorted(notes, key=lambda n: (n.start, n.end)))
+    return np.clip(x, -1, 1), notes
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir")
+    ap.add_argument("--train", type=int, default=20)
+    ap.add_argument("--val", type=int, default=3)
+    ap.add_argument("--test", type=int, default=3)
+    ap.add_argument("--dur", type=float, default=60.0)
+    ap.add_argument("--seed", type=int, default=20260818)
+    args = ap.parse_args(argv)
+
+    from transkun_tpu.data.midi import write_midi
+
+    rng = np.random.default_rng(args.seed)
+    root = args.outdir
+    year = "2026"
+    os.makedirs(os.path.join(root, year), exist_ok=True)
+    rows = []
+    splits = (
+        ["train"] * args.train + ["validation"] * args.val + ["test"] * args.test
+    )
+    for i, split in enumerate(splits):
+        wav = f"{year}/synth{i:03d}.wav"
+        mid = f"{year}/synth{i:03d}.midi"
+        audio, notes = synth_piece(rng, args.dur)
+        wavfile.write(
+            os.path.join(root, wav), FS,
+            (audio * 32000).astype(np.int16),
+        )
+        write_midi(
+            sorted(notes, key=lambda n: (n.start, n.end, n.pitch)),
+            os.path.join(root, mid),
+        )
+        rows.append(
+            {
+                "canonical_composer": "synthetic",
+                "canonical_title": f"synth{i:03d}",
+                "split": split,
+                "year": year,
+                "midi_filename": mid,
+                "audio_filename": wav,
+                "duration": args.dur,
+            }
+        )
+        print(f"{wav}: {sum(1 for n in notes if n.pitch > 0)} notes", flush=True)
+
+    meta = os.path.join(root, "meta.csv")
+    with open(meta, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    from transkun_tpu.cli.create_dataset_maestro import main as build
+
+    build([root, meta, root])
+    print("corpus ready at", root)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,3 +54,14 @@ def test_conf_roundtrip(tmp_path):
     write_conf_template(str(p))
     _, conf = parse_conf_file(str(p))
     assert conf.to_dict() == ModelConfig().to_dict()
+
+
+def test_compute_param_size():
+    # mirrors the reference's computeParamSize (Util.py:8-13): millions of
+    # scalars across the pytree
+    import numpy as np
+
+    from transkun_tpu.utils import compute_param_size
+
+    params = {"a": np.zeros((1000, 1000)), "b": {"c": np.zeros((500000,))}}
+    assert abs(compute_param_size(params) - 1.5) < 1e-9

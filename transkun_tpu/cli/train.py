@@ -115,6 +115,10 @@ def main(argv=None):
         )
 
     params = model.init(jax.random.PRNGKey(run_seed))
+    if rank == 0:
+        from ..utils import compute_param_size
+
+        print(f"#Param(M): {compute_param_size(params['params']):.2f}")
     optimizer = make_optimizer(
         params["params"],
         max_lr=args.max_lr,
