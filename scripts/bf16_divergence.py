@@ -69,6 +69,17 @@ def main():
     ap.add_argument("--pieces", type=int, default=3)
     ap.add_argument("--dur", type=float, default=30.0)
     ap.add_argument("--diag-bias", type=float, default=-2.0)
+    ap.add_argument(
+        "--weight", default=None,
+        help="trained checkpoint (orbax dir or .pt).  With real weights the "
+        "decode has trained margins instead of the pathological zero-margin "
+        "ties random init produces; --diag-bias is ignored",
+    )
+    ap.add_argument(
+        "--wav", default=None,
+        help="transcribe this wav instead of synthetic pieces (repeatable "
+        "via a directory is NOT supported; single file)",
+    )
     args = ap.parse_args()
 
     from transkun_tpu.utils.jax_setup import setup_cache
@@ -88,14 +99,27 @@ def main():
 
     m32 = TransKun(conf)
     m16 = TransKun(conf, compute_dtype=jnp.bfloat16)
-    params = m32.init(jax.random.PRNGKey(0), n_frames=691)
-    # moderate event density: random-init diag fires singletons on ~half of
-    # all frame/track slots; a mild negative bias yields a realistic decode
-    params["params"]["scorer"]["map"]["bias"] = (
-        params["params"]["scorer"]["map"]["bias"].at[-1].add(args.diag_bias)
-    )
+    if args.weight:
+        from transkun_tpu.train.checkpoint import load_params
 
-    report = {"pieces": args.pieces, "dur": args.dur, "diag_bias": args.diag_bias}
+        params = load_params(args.weight, conf)  # full variables dict
+        if "params" not in params:
+            params = {"params": params}
+    else:
+        params = m32.init(jax.random.PRNGKey(0), n_frames=691)
+        # moderate event density: random-init diag fires singletons on ~half
+        # of all frame/track slots; a mild negative bias yields a realistic
+        # decode
+        params["params"]["scorer"]["map"]["bias"] = (
+            params["params"]["scorer"]["map"]["bias"].at[-1].add(args.diag_bias)
+        )
+
+    report = {
+        "pieces": args.pieces,
+        "dur": args.dur,
+        "diag_bias": None if args.weight else args.diag_bias,
+        "weight": args.weight,
+    }
 
     # per-segment logZ error, fp32 vs bf16 (the training objective's dtype
     # sensitivity at flagship shape)
@@ -117,10 +141,20 @@ def main():
         np.max(np.abs(lz32 - lz16) / np.maximum(np.abs(lz32), 1.0))
     )
 
+    if args.wav:
+        from scipy.io import wavfile
+
+        fs, wav = wavfile.read(args.wav)
+        assert fs == conf.fs, (fs, conf.fs)
+        if wav.ndim == 1:
+            wav = wav[:, None]
+        pieces = [wav.astype(np.float32) / 32768.0]
+    else:
+        pieces = [synth_piece(rng, args.dur, conf.fs) for _ in range(args.pieces)]
+
     total_events = total_matched = total_vel = 0
     worst_dt = 0.0
-    for i in range(args.pieces):
-        audio = synth_piece(rng, args.dur, conf.fs)
+    for i, audio in enumerate(pieces):
         n32 = m32.transcribe(params, audio)
         n16 = m16.transcribe(params, audio)
         matched, vel_same, total, wdt = match_rate(n32, n16)
