@@ -45,11 +45,39 @@ class DownConv(nn.Module):
         drop = nn.Dropout(self.dropout, broadcast_dims=(1, 2))
         for i, (c, s) in enumerate(zip(chans, strides)):
             h = nn.Conv(c, (3, 3), strides=s, padding=((1, 1), (1, 1)), dtype=self.dtype, name=f"conv{i}")(h)
-            h = nn.GroupNorm(num_groups=4, name=f"norm{i}")(h)
+            h = nn.GroupNorm(num_groups=4, epsilon=1e-5, name=f"norm{i}")(h)
             h = nn.gelu(h, approximate=False)
             h = drop(h, deterministic=deterministic)
         h = nn.Conv(4 * b, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv3")(h)
-        h = nn.GroupNorm(num_groups=4, name="norm3")(h)
+        h = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="norm3")(h)
+        return h
+
+
+class UpConv1d(nn.Module):
+    """Full 8x upsample stack (ref ``LayersTransformer.py:523-534``):
+    three (ConvTranspose k=stride=2 -> Conv k=3 -> GroupNorm -> GELU) stages,
+    the last stage without norm/activation, 4b -> 4b -> 2b -> b channels.
+    Each transposed conv with kernel == stride is one Dense to 2 per-step
+    outputs plus a reshape — an MXU matmul, no scatter."""
+
+    base_size: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, h: Array) -> Array:
+        # h: [B, T, 4b] channels-last
+        b = self.base_size
+        stages = [(4 * b, False), (2 * b, False), (b, True)]
+        for i, (c_out, last) in enumerate(stages):
+            bb, t, _ = h.shape
+            h = nn.Dense(2 * c_out, dtype=self.dtype, name=f"up{i}")(h)
+            h = h.reshape(bb, 2 * t, c_out)
+            h = nn.Conv(
+                c_out, (3,), padding=((1, 1),), dtype=self.dtype, name=f"conv{i}"
+            )(h)
+            if not last:
+                h = nn.GroupNorm(num_groups=4, epsilon=1e-5, name=f"norm{i}")(h)
+                h = nn.gelu(h, approximate=False)
         return h
 
 
@@ -138,8 +166,13 @@ class Backbone(nn.Module):
         up = nn.Dense(8 * out_d, dtype=self.dtype, name="upConv1dSkip")(ht)
         up = up.reshape(n * p, (tp - 1) * 8, out_d)
         if not self.upsample_proj_only:
-            raise NotImplementedError(
-                "full upConv1d path unused by the V2 config (upsampleProjOnly=True)"
+            # full path: conv stack + skip (ref ``:645-646``); both land on
+            # baseSize channels, so expansion_factor must be 1
+            assert self.expansion_factor == 1, (
+                "upsample_proj_only=False requires expansion_factor == 1 "
+                "(upConv1d ends at baseSize channels, ref "
+                "LayersTransformer.py:533,646)"
             )
+            up = up + UpConv1d(b, dtype=self.dtype, name="upConv1d")(ht)
         up = up[:, :n_t]  # crop to original frame count
         return up.reshape(n, p, n_t, out_d).astype(jnp.float32)

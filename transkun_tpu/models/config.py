@@ -45,6 +45,13 @@ class ModelConfig:
     scoringExpansionFactor: int = 4
     useInnerProductScorer: bool = True
 
+    # Full ConvTranspose upsample stack + skip (ref
+    # ``LayersTransformer.py:522-534,645-646``).  The reference never passes
+    # this (its Backbone default True is used by every shipped config) but
+    # keeps the capability; requires scoringExpansionFactor == 1 so the skip
+    # and the conv stack land on the same channel count.
+    upsampleProjOnly: bool = True
+
     scoreDropoutProb: float = 0.1
     contextDropoutProb: float = 0.1
     velocityDropoutProb: float = 0.1

@@ -124,6 +124,7 @@ class TransKunModule(nn.Module):
             enabled_attn=tuple(conf.enabledAttn),
             use_gradient_checkpoint=conf.useGradientCheckpoint,
             downsample_f=conf.downsampleF,
+            upsample_proj_only=conf.upsampleProjOnly,
             dtype=self.compute_dtype,
         )
         if conf.useInnerProductScorer:

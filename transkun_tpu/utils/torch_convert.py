@@ -77,10 +77,9 @@ def _mlp_head(sd, prefix):
     }
 
 
-def convert_state_dict(sd: Dict[str, Any], conf) -> Dict[str, Any]:
-    """torch state_dict (tensors or numpy arrays) -> flax params dict."""
-    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in sd.items()}
-
+def convert_backbone(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert the ``backbone.*`` keys of a torch state_dict (numpy values)
+    to the flax Backbone params dict."""
     backbone: Dict[str, Any] = {
         "posEmbedBuilder": _pos_embed(sd, "backbone.posEmbedBuilder"),
         "posEmbedBuilderAttnTF": _pos_embed(sd, "backbone.posEmbedBuilderAttnTF"),
@@ -98,11 +97,39 @@ def convert_state_dict(sd: Dict[str, Any], conf) -> Dict[str, Any]:
         },
     }
     # transposed-conv-as-dense upsampler
-    w = sd["backbone.upConv1dSkip.weight"]  # [in, out, k]
-    k = w.shape[-1]
-    kernel = np.ascontiguousarray(np.transpose(w, (0, 2, 1))).reshape(w.shape[0], -1)
-    bias = np.tile(sd["backbone.upConv1dSkip.bias"], k)
-    backbone["upConv1dSkip"] = {"kernel": kernel, "bias": bias}
+    def _convtranspose1d_as_dense(prefix):
+        w = sd[prefix + ".weight"]  # [in, out, k]
+        k = w.shape[-1]
+        kernel = np.ascontiguousarray(np.transpose(w, (0, 2, 1))).reshape(
+            w.shape[0], -1
+        )
+        return {"kernel": kernel, "bias": np.tile(sd[prefix + ".bias"], k)}
+
+    backbone["upConv1dSkip"] = _convtranspose1d_as_dense("backbone.upConv1dSkip")
+
+    if "backbone.upConv1d.0.weight" in sd:
+        # full upsample stack (upsampleProjOnly=False, ref
+        # ``LayersTransformer.py:523-534``): torch Sequential indices
+        # 0/4/8 ConvTranspose1d, 1/5/9 Conv1d [out, in, k] -> [k, in, out],
+        # 2/6 GroupNorm
+        def _conv1d(prefix):
+            return {
+                "kernel": np.ascontiguousarray(
+                    np.transpose(sd[prefix + ".weight"], (2, 1, 0))
+                ),
+                "bias": np.asarray(sd[prefix + ".bias"]),
+            }
+
+        backbone["upConv1d"] = {
+            "up0": _convtranspose1d_as_dense("backbone.upConv1d.0"),
+            "conv0": _conv1d("backbone.upConv1d.1"),
+            "norm0": _groupnorm(sd, "backbone.upConv1d.2"),
+            "up1": _convtranspose1d_as_dense("backbone.upConv1d.4"),
+            "conv1": _conv1d("backbone.upConv1d.5"),
+            "norm1": _groupnorm(sd, "backbone.upConv1d.6"),
+            "up2": _convtranspose1d_as_dense("backbone.upConv1d.8"),
+            "conv2": _conv1d("backbone.upConv1d.9"),
+        }
 
     i = 0
     while f"backbone.encoderLayers.{i}.mhaBlockF.scale" in sd or any(
@@ -119,6 +146,13 @@ def convert_state_dict(sd: Dict[str, Any], conf) -> Dict[str, Any]:
             break
         backbone[f"encoderLayers_{i}"] = layer
         i += 1
+    return backbone
+
+
+def convert_state_dict(sd: Dict[str, Any], conf) -> Dict[str, Any]:
+    """torch state_dict (tensors or numpy arrays) -> flax params dict."""
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in sd.items()}
+    backbone = convert_backbone(sd)
 
     params = {
         "frontend": {
