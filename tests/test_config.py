@@ -4,6 +4,8 @@ and stays equal to the reference's packaged ``pretrained/2.0.conf``."""
 import json
 import os
 
+import pytest
+
 from transkun_tpu.models.config import (
     ModelConfig,
     default_conf_path,
@@ -14,6 +16,7 @@ from transkun_tpu.models.config import (
 REF_CONF = "/root/reference/transkun/pretrained/2.0.conf"
 
 
+@pytest.mark.quick
 def test_default_conf_loads():
     module, conf = load_default_conf()
     assert module.__name__ == "transkun_tpu.models.transkun"

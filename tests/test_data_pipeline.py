@@ -60,6 +60,7 @@ def test_dataset_fetch_and_boundary_flags(pickle_dataset):
     assert len(notes_strict) < len(notes)
 
 
+@pytest.mark.quick
 def test_iterator_deterministic_and_loader(pickle_dataset):
     root, pkl = pickle_dataset
     ds = D.DatasetMaestro(root, pkl)

@@ -1,6 +1,7 @@
 """Evaluation metric tests (hand-constructed oracles)."""
 
 import numpy as np
+import pytest
 
 from transkun_tpu.data.note import Note
 from transkun_tpu.eval import compare_bracket, compare_framewise, compare_transcription
@@ -84,6 +85,8 @@ def test_compare_transcription_perfect():
     assert metrics["nGT"] == 2  # pedals split out
 
 
+@pytest.mark.quick
+@pytest.mark.quick
 def test_golden_fixtures():
     """Frozen metric outputs on randomized est/GT fixtures: pins the whole
     matching stack (Hopcroft-Karp matching, velocity rescale, framewise

@@ -154,6 +154,7 @@ def _tie_corpus():
     return gt, est
 
 
+@pytest.mark.quick
 def test_tie_corpus_golden():
     gt, est = _tie_corpus()
     m = compare_transcription(

@@ -43,6 +43,7 @@ def _load_ref_util():
 needs_ref = pytest.mark.skipif(not os.path.exists(REF), reason="reference absent")
 
 
+@pytest.mark.quick
 def test_melscale_fbanks_direct():
     """Independent check of the HTK filterbank against a from-first-principles
     computation at a few bins."""
@@ -65,6 +66,7 @@ def test_melscale_fbanks_direct():
 
 
 @needs_ref
+@pytest.mark.quick
 def test_make_frame_parity(rng):
     import torch
 

@@ -12,6 +12,7 @@ from transkun_tpu.models.layers import BasicBlock, TiedDropout
     "enabled",
     [("F", "T"), ("F", "T", "All0", "0All"), ("FT",), ("F", "T", "All0")],
 )
+@pytest.mark.quick
 def test_basic_block_variants(rng, enabled):
     m = BasicBlock(size=16, num_heads=2, enabled=enabled, dropout=0.0)
     x = jnp.asarray(rng.normal(size=(2, 5, 7, 16)).astype(np.float32))

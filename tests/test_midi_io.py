@@ -16,6 +16,7 @@ from transkun_tpu.data.note import (
 )
 
 
+@pytest.mark.quick
 def test_midi_roundtrip(tmp_path):
     notes = [
         Note(0.0, 0.5, 60, 80),

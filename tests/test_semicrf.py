@@ -74,6 +74,7 @@ def brute_force(score, noise):
 
 
 @pytest.mark.parametrize("T", [2, 3, 4, 5])
+@pytest.mark.quick
 def test_logz_matches_bruteforce(rng, T):
     for trial in range(3):
         score = rng.normal(size=(T, T, 2)).astype(np.float32)

@@ -27,6 +27,7 @@ def test_viterbi_tables_match_scan(rng, t, nb):
 
 
 @pytest.mark.parametrize("t,nb", [(10, 3), (40, 7)])
+@pytest.mark.quick
 def test_alpha_and_logz_match_scan(rng, t, nb):
     s = jnp.asarray(rng.normal(size=(t, t, nb)).astype(np.float32))
     n = jnp.asarray(rng.normal(size=(t - 1, nb)).astype(np.float32))

@@ -33,6 +33,7 @@ def _batch(n, rng):
     return frames, tuple(jnp.asarray(a) for a in labels.astuple())
 
 
+@pytest.mark.quick
 def test_loss_decreases(rng):
     conf = ModelConfig.from_dict(TINY)
     model = TransKun(conf)
@@ -228,3 +229,73 @@ def test_weight_decay_mask():
     ), "pos embeds must not decay"
     assert not any(v for k, v in decayed.items() if k.endswith("['bias']"))
     assert any(v for k, v in decayed.items() if "mha" in k and "kernel" in k)
+
+
+def test_nonfinite_step_skips_update(rng):
+    """A NaN batch must leave params/opt/clip state untouched (device-side
+    guard in apply_update) and flag metrics["finite"]=False; the next good
+    batch must then train normally."""
+    conf = ModelConfig.from_dict(TINY)
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=64)
+    opt = make_optimizer(params["params"], max_lr=2e-3, n_iter=1000, warmup_cutoff=0)
+    step = make_train_step(model.module, opt)
+    state = init_train_state(params, opt)
+    frames, labels = _batch(2, rng)
+
+    state, m = step(state, frames, labels, jax.random.PRNGKey(0))
+    assert bool(m["finite"])
+    snap = jax.device_get(state)
+
+    bad = frames.at[0, 0, 0, 0].set(jnp.nan)
+    state, m = step(state, bad, labels, jax.random.PRNGKey(1))
+    assert not bool(m["finite"])
+    after = jax.device_get(state)
+    for a, b in zip(jax.tree.leaves(snap.params), jax.tree.leaves(after.params)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(
+        jax.tree.leaves(snap.opt_state), jax.tree.leaves(after.opt_state)
+    ):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(
+        jax.tree.leaves(snap.clip_state), jax.tree.leaves(after.clip_state)
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert int(after.step) == int(snap.step) + 1  # step counter still advances
+
+    state, m = step(state, frames, labels, jax.random.PRNGKey(2))
+    assert bool(m["finite"]) and np.isfinite(float(m["loss"]))
+
+
+def test_dense_chunk_auto_grows_and_trains(rng):
+    """A pedal-storm chunk (> max_events on one track) must not kill the run:
+    encode_batch buckets K up to the next multiple of 16 and the train step
+    accepts the grown shapes (ref behavior: crash-free on real MAESTRO)."""
+    import warnings
+
+    conf = ModelConfig.from_dict(TINY)
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=64)
+    opt = make_optimizer(params["params"], max_lr=2e-3, n_iter=1000, warmup_cutoff=0)
+    step = make_train_step(model.module, opt)
+    state = init_train_state(params, opt)
+
+    # 20 pedal events in 1 s on the sustain track (-64) > max_events=8
+    storm = [Note(i * 0.05, i * 0.05 + 0.02, -64, 127) for i in range(20)]
+    notes = [storm + [Note(0.1, 0.4, 60, 80)], [Note(0.2, 0.5, 64, 90)]]
+    audio = (rng.normal(size=(2, 4000, 1)) * 0.1).astype(np.float32)
+    x = jnp.swapaxes(jnp.asarray(audio), -1, -2)
+    frames = frontend.make_frame(x, 64, 256)
+    pitches = [-64, -67] + list(range(21, 109))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = encode_batch(notes, 64 / 4000, pitches, 8)
+    assert any("growing K" in str(w.message) for w in caught)
+    assert labels.begins.shape[2] == 32  # 20 -> next multiple of 16 is 32
+    assert labels.mask[0, 0].sum() == 20
+
+    state, m = step(
+        state, frames, tuple(jnp.asarray(a) for a in labels.astuple()),
+        jax.random.PRNGKey(0),
+    )
+    assert bool(m["finite"]) and np.isfinite(float(m["loss"]))

@@ -4,6 +4,7 @@ all_reduce, ``TrainUtil.py:231-272``)."""
 
 import jax
 import numpy as np
+import pytest
 
 from transkun_tpu.data.note import Note
 from transkun_tpu.models import TransKun
@@ -55,6 +56,8 @@ def test_multi_device_counts_equal_serial(rng):
     assert np.isfinite(m_serial["meanNLL"])
 
 
+@pytest.mark.quick
+@pytest.mark.quick
 def test_aggregate_across_processes_single_process_noop():
     agg = dict(zip(AGG_KEYS, [1.0, 2.0, 3.0, 4.0, 5.0]))
     assert aggregate_across_processes(agg) == agg

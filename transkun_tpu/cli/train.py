@@ -13,7 +13,6 @@ through pjit/shard_map).  Usage:
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import time
 
@@ -236,15 +235,15 @@ def main(argv=None):
             # metrics stay on device; fetching every step would sync the
             # (async) step chain at one link RTT each — batch the fetches
             pending_log.append((epoch, idx, global_step, metrics))
-            loss = None
             if len(pending_log) >= max(args.logEvery, 1) or idx == len(loader) - 1:
                 t_flush = time.time()
                 fetched = jax.device_get(
-                    [(m["loss"], m["grad_norm"], m["clip_value"])
+                    [(m["loss"], m["grad_norm"], m["clip_value"], m["finite"])
                      for _, _, _, m in pending_log]
                 )
                 dt = (t_flush - t_log0) / len(pending_log)
-                for (ep_i, idx_i, gs_i, _), (loss, gnorm, clipv) in zip(
+                bad_step = None
+                for (ep_i, idx_i, gs_i, _), (loss, gnorm, clipv, fin) in zip(
                     pending_log, fetched
                 ):
                     loss, gnorm, clipv = float(loss), float(gnorm), float(clipv)
@@ -258,8 +257,20 @@ def main(argv=None):
                         writer.add_scalar("Optimizer/gradNorm", gnorm, gs_i)
                         writer.add_scalar("Optimizer/clipValue", clipv, gs_i)
                     loss_all.append(loss)
+                    if not bool(fin) and bad_step is None:
+                        bad_step = gs_i
                 pending_log.clear()
                 t_log0 = time.time()
+                if bad_step is not None:
+                    # the jitted step already SKIPPED every non-finite update
+                    # on device (params/opt/clip state untouched — see
+                    # train/step.py apply_update), so unlike the reference's
+                    # same-step abort (train.py:299) no state was corrupted
+                    print(
+                        f"non-finite loss/grad at step {bad_step} "
+                        "(update skipped on device), aborting"
+                    )
+                    raise SystemExit(1)
 
             if idx % args.statsEvery == 0 and rank == 0:
                 # decode fns are single-device programs: under multi-host,
@@ -288,10 +299,6 @@ def main(argv=None):
                     writer.add_scalar(
                         "Loss/train_mse_OF", stats["seOFForced"] / n_gt, global_step
                     )
-
-            if loss is not None and math.isnan(loss):
-                print("NaN loss, aborting")
-                raise SystemExit(1)
 
             if idx % args.ckptEvery == args.ckptEvery - 1:
                 ckpt_state = jax.device_get(state) if multi_host else state

@@ -125,10 +125,31 @@ def encode_batch(
 
     K (``max_events``) bounds events per pitch track per chunk; 32 covers a
     16 s chunk with a same-pitch repetition rate of 2 notes/s with margin.
+    A denser chunk (pedal CC storm, fast trill) AUTO-GROWS K to the next
+    multiple of 16 instead of failing mid-epoch; the grown shape costs one
+    extra XLA compile of the train step per bucket, which is why growth is
+    bucketed rather than exact.
     """
     n = len(notes_batch)
     p = len(target_pitch)
+    per_item = [
+        prepare_intervals(notes, hop_size_in_second, target_pitch)
+        for notes in notes_batch
+    ]
+    densest = max(
+        (len(ivs) for data in per_item for ivs in data["intervals"]), default=0
+    )
     k = max_events
+    if densest > k:
+        k = -(-densest // 16) * 16  # next multiple of 16
+        import warnings
+
+        warnings.warn(
+            f"a chunk holds {densest} events on one pitch track > "
+            f"max_events={max_events}; growing K to {k} (one extra train-step "
+            "compile per bucket)",
+            stacklevel=2,
+        )
     begins = np.zeros((n, p, k), np.int32)
     ends = np.zeros((n, p, k), np.int32)
     mask = np.zeros((n, p, k), bool)
@@ -136,14 +157,9 @@ def encode_batch(
     refine = np.zeros((n, p, k, 2), np.float32)
     presence = np.zeros((n, p, k, 2), np.float32)
 
-    for i, notes in enumerate(notes_batch):
-        data = prepare_intervals(notes, hop_size_in_second, target_pitch)
+    for i, data in enumerate(per_item):
         for j in range(p):
             ivs = data["intervals"][j]
-            if len(ivs) > k:
-                raise ValueError(
-                    f"track {target_pitch[j]} has {len(ivs)} events > max_events={k}"
-                )
             for e_idx, (b, e) in enumerate(ivs):
                 begins[i, j, e_idx] = b
                 ends[i, j, e_idx] = e

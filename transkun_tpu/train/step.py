@@ -108,18 +108,38 @@ def make_train_step(
         return variables["params"], model_state
 
     def apply_update(state: TrainState, grads, loss_sum, new_model_state, n_shards):
-        params_only, _ = split_vars(state.params)
+        params_only, old_model_state = split_vars(state.params)
         clipped, clip_state, gnorm, clip_value = quantile_clip(
             grads, state.clip_state, clip_quantile
         )
+        # Non-finite guard, fully on device: if the loss or the global grad
+        # norm is NaN/Inf this step, keep EVERY state leaf unchanged (params,
+        # optimizer moments, clip buffer, mutable collections) so a bad batch
+        # can never poison the state a later checkpoint persists.  The host
+        # fetches ``finite`` with the batched metric flush and aborts — the
+        # reference aborts same-step instead (``train.py:299``) but pays a
+        # per-step device sync for it.
+        finite = jnp.isfinite(loss_sum) & jnp.isfinite(gnorm)
+
+        def keep_if_finite(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+
         updates, opt_state = optimizer.update(clipped, state.opt_state, params_only)
-        variables = dict(new_model_state)
-        variables["params"] = optax.apply_updates(params_only, updates)
+        new_params = keep_if_finite(
+            optax.apply_updates(params_only, updates), params_only
+        )
+        opt_state = keep_if_finite(opt_state, state.opt_state)
+        clip_state = keep_if_finite(clip_state, state.clip_state)
+        variables = keep_if_finite(
+            dict(new_model_state), {**new_model_state, **old_model_state}
+        )
+        variables["params"] = new_params
         new_state = TrainState(variables, opt_state, clip_state, state.step + 1)
         metrics = {
             "loss": loss_sum / n_shards,
             "grad_norm": gnorm,
             "clip_value": clip_value,
+            "finite": finite,
         }
         return new_state, metrics
 
