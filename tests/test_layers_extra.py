@@ -80,40 +80,3 @@ def test_pitch_shift_only_augmentor(rng):
     y = aug(x)
     assert y.shape == x.shape
     assert np.isfinite(y).all()
-
-
-def test_fused_kv_projection_matches_default():
-    """TRANSKUN_TPU_FUSED_KV=1 concat-fuses every k/v projection of a
-    block's shared mem into one GEMM; outputs must match the per-block
-    GEMMs (same params, fp32, all attention variants enabled)."""
-    import os
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from transkun_tpu.models.layers import BasicBlock
-
-    for enabled in [("F", "T", "All0", "0All"), ("F", "T", "FT"), ("T",)]:
-        blk = BasicBlock(
-            size=24, num_heads=3, hidden_factor=2.0, hidden_factor_attn=1.0,
-            enabled=enabled, dropout=0.0,
-        )
-        x = jnp.asarray(
-            np.random.default_rng(0).normal(size=(2, 5, 7, 24)), jnp.float32
-        )
-        params = blk.init(jax.random.PRNGKey(1), x)
-        saved = os.environ.pop("TRANSKUN_TPU_FUSED_KV", None)
-        try:
-            y_ref = blk.apply(params, x)  # flag OFF regardless of caller env
-            os.environ["TRANSKUN_TPU_FUSED_KV"] = "1"
-            y_fused = blk.apply(params, x)
-        finally:
-            if saved is None:
-                os.environ.pop("TRANSKUN_TPU_FUSED_KV", None)
-            else:
-                os.environ["TRANSKUN_TPU_FUSED_KV"] = saved
-        np.testing.assert_allclose(
-            np.asarray(y_fused), np.asarray(y_ref), rtol=2e-5, atol=2e-5,
-            err_msg=str(enabled),
-        )

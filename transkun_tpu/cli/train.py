@@ -54,6 +54,11 @@ def main(argv=None):
                         "~10%% faster than storing activations (the encoder "
                         "is HBM-bound, so recompute beats spill/reload) and "
                         "it also enables large batches")
+    parser.add_argument("--seed", default=None, type=int,
+                        help="run seed (data stream + dropout).  Default: "
+                        "wall clock.  A resumed run always reuses the seed "
+                        "persisted in the checkpoint so the restarted stream "
+                        "continues deterministically")
     parser.add_argument("--logEvery", default=8, type=int,
                         help="fetch/print train metrics every N steps; each "
                         "host fetch is a device sync (~27 ms on a tunneled "
@@ -93,7 +98,7 @@ def main(argv=None):
     )
 
     rank, world = process_info()
-    run_seed = int(time.time())
+    run_seed = int(time.time()) if args.seed is None else args.seed
     if multi_host:
         # every process must build IDENTICAL replicated params/opt state, so
         # the seed is agreed on once (ref: rank 0 initializes, others load
@@ -153,6 +158,8 @@ def main(argv=None):
         extra = ckpt.get("extra", {}) or {}
         loss_tracker = extra.get("loss_tracker", loss_tracker)
         start_epoch = int(extra.get("epoch", 0))
+        # continue the exact data/dropout stream of the interrupted run
+        run_seed = int(extra.get("run_seed", run_seed))
 
     dataset = D.DatasetMaestro(args.datasetPath, args.datasetMetaFile_train)
     dataset_val = D.DatasetMaestro(args.datasetPath, args.datasetMetaFile_val)
@@ -305,7 +312,8 @@ def main(argv=None):
                 if rank == 0:
                     save_checkpoint(
                         ckpt_path, ckpt_state, best_params,
-                        {"loss_tracker": loss_tracker, "epoch": epoch},
+                        {"loss_tracker": loss_tracker, "epoch": epoch,
+                         "run_seed": run_seed},
                     )
                     print("saved")
             global_step += 1
@@ -355,7 +363,8 @@ def main(argv=None):
                 ckpt_path,
                 jax.device_get(state) if multi_host else state,
                 best_params,
-                {"loss_tracker": loss_tracker, "epoch": epoch + 1},
+                {"loss_tracker": loss_tracker, "epoch": epoch + 1,
+                 "run_seed": run_seed},
             )
 
 

@@ -1679,8 +1679,13 @@ class TransKun:
         events_all = [e for lst in events_by_type.values() for e in lst]
         events_all = [n for n in events_all if n.hasOffset]
         if _timing:
-            prev = _marks[0][1]
-            for label, tt in _marks[1:]:
-                print(f"  [transcribe] {label}: +{(tt - prev) * 1e3:.1f} ms")
-                prev = tt
+            # marks are kept on the instance so callers (bench.py) can build
+            # a phase breakdown without parsing stdout; TRANSKUN_TPU_TIMING
+            # = "silent" records marks but skips the per-call print
+            self.last_transcribe_marks = list(_marks)
+            if os.environ.get("TRANSKUN_TPU_TIMING") != "silent":
+                prev = _marks[0][1]
+                for label, tt in _marks[1:]:
+                    print(f"  [transcribe] {label}: +{(tt - prev) * 1e3:.1f} ms")
+                    prev = tt
         return resolve_overlapping(events_all)

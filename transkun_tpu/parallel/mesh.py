@@ -39,11 +39,16 @@ def init_distributed() -> bool:
     """
     coord = os.environ.get("JAX_COORDINATOR")
     if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        except RuntimeError:
+            # already joined (a second cli invocation in one process, e.g.
+            # train -> resume within a test) — the runtime persists
+            pass
         return True
     # TPU pod runtime env (one process per host, auto-discovered).  A
     # single-entry worker list (e.g. TPU_WORKER_HOSTNAMES=localhost on a
