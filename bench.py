@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(dur=64.0, conf=None, n_trials=5):
     from transkun_tpu.utils.jax_setup import setup_cache
 
     setup_cache()
@@ -35,9 +35,11 @@ def main():
     from transkun_tpu.models import TransKun
     from transkun_tpu.models.config import load_default_conf
 
-    _, conf = load_default_conf()
+    if conf is None:
+        _, conf = load_default_conf()
+    n_frames = int(conf.segmentSizeInSecond * conf.fs / conf.hopSize) + 1
     model = TransKun(conf, compute_dtype=jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(0), n_frames=691)
+    params = model.init(jax.random.PRNGKey(0), n_frames=n_frames)
 
     # Random weights fire spurious singleton events (diag scores ~ 0), which
     # only inflates *host* assembly work vs. a trained model.  Bias the
@@ -48,7 +50,6 @@ def main():
     bias[-1] = -8.0
     params["params"]["scorer"]["map"]["bias"] = jnp.asarray(bias)
 
-    dur = 64.0  # seconds of audio per timed run
     rng = np.random.default_rng(0)
     audio = (rng.normal(size=(int(dur * conf.fs), 1)) * 0.05).astype(np.float32)
     # decoded wav/mp3 input is int16; quantizing keeps the bench honest AND
@@ -58,12 +59,12 @@ def main():
     # warmup / compile (same length as the timed runs)
     model.transcribe(params, audio)
     trials = []
-    for _ in range(5):
+    for _ in range(n_trials):
         t0 = time.time()
         model.transcribe(params, audio)
         trials.append((time.time() - t0, getattr(model, "last_transcribe_marks", None)))
     trials.sort(key=lambda t: t[0])
-    wall, marks = trials[2]  # median of 5 (the tunnel link is jittery)
+    wall, marks = trials[len(trials) // 2]  # median (the tunnel link is jittery)
     rtf = dur / wall
 
     phases = {}

@@ -13,6 +13,7 @@ CKPT=${CKPT:-/tmp/ckpt_r4}
 STEPS=${STEPS:-6000}
 # 40x120s pieces at 16s/8s chunking -> 560 chunks -> 280 steps/epoch at B=2
 MAX_EPOCH=${MAX_EPOCH:-21}
+MAX_LR=${MAX_LR:-4e-4}
 cd /root/repo
 
 python -m transkun_tpu.cli.train "$CKPT" \
@@ -20,7 +21,7 @@ python -m transkun_tpu.cli.train "$CKPT" \
   --datasetMetaFile_train "$CORPUS/train.pickle" \
   --datasetMetaFile_val "$CORPUS/val.pickle" \
   --modelConf transkun_tpu/pretrained/2.0.conf \
-  --bf16 --batchSize 2 --max_lr 4e-4 --nIter "$STEPS" \
+  --bf16 --batchSize 2 --max_lr "$MAX_LR" --nIter "$STEPS" \
   --maxEpoch "$MAX_EPOCH" \
   --warmupCutoff 300 --statsEvery 200 --ckptEvery 200 --logEvery 16 \
   --dataLoaderWorkers 2

@@ -128,6 +128,9 @@ WORKER = textwrap.dedent(
         h = float(np.float64(sum(np.abs(np.asarray(l, np.float64)).sum()
                                  for l in leaves)))
         print(f"EPOCH_OK step={int(ck['step'])} fp={fp!r} h={h!r}", flush=True)
+    # both ranks must reach process exit together or the laggard trips the
+    # runtime's Shutdown barrier while the other is still fingerprinting
+    multihost_utils.sync_global_devices("exit_together")
     """
 )
 

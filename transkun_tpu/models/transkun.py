@@ -1679,6 +1679,8 @@ class TransKun:
         events_all = [e for lst in events_by_type.values() for e in lst]
         events_all = [n for n in events_all if n.hasOffset]
         if _timing:
+            import os
+
             # marks are kept on the instance so callers (bench.py) can build
             # a phase breakdown without parsing stdout; TRANSKUN_TPU_TIMING
             # = "silent" records marks but skips the per-call print
