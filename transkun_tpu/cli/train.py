@@ -40,7 +40,14 @@ def main(argv=None):
     parser.add_argument("--nDevices", default=None, type=int)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (params stay fp32)")
-    parser.add_argument("--statsEvery", default=40, type=int)
+    parser.add_argument("--statsEvery", default=40, type=int,
+                        help="decode-and-score a train batch every N steps "
+                        "(ref train.py:140-142); 0 disables the pass")
+    parser.add_argument("--validateEvery", default=1, type=int,
+                        help="run distributed validation every N epochs "
+                        "(the reference validates per epoch; long runs on "
+                        "small corpora drown in per-epoch decodes otherwise)."
+                        "  Latest checkpoint is still saved every epoch")
     parser.add_argument("--warmupCutoff", default=500, type=int,
                         help="steps before the OneCycle schedule starts")
     parser.add_argument("--ckptEvery", default=2000, type=int)
@@ -279,7 +286,7 @@ def main(argv=None):
                     )
                     raise SystemExit(1)
 
-            if idx % args.statsEvery == 0 and rank == 0:
+            if args.statsEvery > 0 and idx % args.statsEvery == 0 and rank == 0:
                 # decode fns are single-device programs: under multi-host,
                 # pull the replicated params to host once for the stats pass
                 sp = jax.device_get(state.params) if multi_host else state.params
@@ -327,6 +334,20 @@ def main(argv=None):
             aggregate_across_processes,
             validation_counts,
         )
+
+        if (epoch + 1) % max(args.validateEvery, 1) != 0:
+            if rank == 0:
+                loss_tracker["train"].append(
+                    sum(loss_all) / max(len(loss_all), 1)
+                )
+                save_checkpoint(
+                    ckpt_path,
+                    jax.device_get(state) if multi_host else state,
+                    best_params,
+                    {"loss_tracker": loss_tracker, "epoch": epoch + 1,
+                     "run_seed": run_seed},
+                )
+            continue
 
         val_params = jax.device_get(state.params) if multi_host else state.params
         if rank == 0:
