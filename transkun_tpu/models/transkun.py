@@ -1504,7 +1504,15 @@ class TransKun:
         # dispatch every group up front (they chain device-to-device through
         # forcedStartPos); the fetch happens in ``_transcribe_finish`` — ONE
         # host round-trip per piece, on a link where each fetch costs a full
-        # RTT while the marginal bytes are nearly free
+        # RTT while the marginal bytes are nearly free.  All upload chunks of
+        # the piece ship in ONE batched device_put first: the link charges a
+        # fixed per-transfer-call cost, so a wave per group pays it n_groups
+        # times; transfers are async, so group 0's program still starts as
+        # soon as its own chunks land
+        if groups:
+            j_first = (0 - pad) // chunk_len
+            j_last = ((len(groups) - 1) * segment_batch * step_size - pad) // chunk_len
+            ensure_chunks(list(range(j_first, j_last + n_cover)))
         for g_idx in range(len(groups)):
             dispatch(g_idx)
         _mark("dispatch_all")
