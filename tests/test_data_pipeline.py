@@ -131,6 +131,8 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt = load_checkpoint(path)
     assert int(ckpt["step"]) == 0
     assert ckpt["extra"]["epoch"] == 3
+    # default restore is device-free (tunnel-robust): every leaf lands on host
+    assert all(isinstance(l, np.ndarray) for l in jax.tree.leaves(ckpt))
     restored = load_params(path, conf)
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(restored)[0]

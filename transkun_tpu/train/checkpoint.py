@@ -35,12 +35,31 @@ def save_checkpoint(path: str, state, best_params=None, extra: Optional[Dict] = 
         ckptr.save(path, ckpt, force=True)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, to_host: bool = True) -> Dict[str, Any]:
+    """Restore a checkpoint tree.
+
+    ``to_host=True`` restores every leaf as a host ``np.ndarray`` instead of
+    letting orbax place arrays straight onto ``jax.devices()[0]``: over a
+    tunneled TPU a device-target restore can stall indefinitely on a flaky
+    link (observed: a trainer resume hung inside restore while a fresh
+    process could reach the chip fine).  Callers feed the leaves into a
+    jitted step / ``device_put`` which commits them to the right sharding on
+    first use, so restoring to host costs one extra host→device copy and
+    removes the device from the restore critical path.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(path)
+        if not to_host:
+            return ckptr.restore(path)
+        meta = ckptr.metadata(path)
+        meta = getattr(meta, "item_metadata", meta)
+        meta = getattr(meta, "tree", meta)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+        )
+        return ckptr.restore(path, restore_args=restore_args)
 
 
 def restore_opt_state(restored, template):
