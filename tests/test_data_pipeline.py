@@ -139,6 +139,61 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_crash_safe_overwrite(tmp_path):
+    """A crash at ANY point of an overwriting save must leave a loadable
+    checkpoint (observed failure: orbax ``force=True`` deletes the target
+    before writing, and an OOM-kill mid-save destroyed a 51k-step run)."""
+    import os
+    import shutil
+
+    import jax
+
+    from transkun_tpu.models import ModelConfig, TransKun
+    from transkun_tpu.train import init_train_state, make_optimizer
+    from transkun_tpu.train.checkpoint import (
+        checkpoint_exists,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    conf = ModelConfig.from_dict(
+        dict(f_min=30, f_max=1900, n_mels=32, hopSize=64, windowSize=256, fs=4000,
+             nExtraWins=2, baseSize=8, nHead=2, nLayers=1, scoringExpansionFactor=2)
+    )
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=33)
+    opt = make_optimizer(params["params"])
+    state = init_train_state(params, opt)
+    path = str(tmp_path / "ckpt")
+
+    # plain overwrite: second save wins, no .new/.old debris
+    save_checkpoint(path, state, extra={"epoch": 1})
+    save_checkpoint(path, state, extra={"epoch": 2})
+    assert load_checkpoint(path)["extra"]["epoch"] == 2
+    assert not os.path.exists(path + ".new")
+    assert not os.path.exists(path + ".old")
+
+    # crash window A: during the .new write (partial garbage), target intact
+    os.makedirs(path + ".new")
+    open(path + ".new/garbage", "w").write("partial")
+    assert load_checkpoint(path)["extra"]["epoch"] == 2
+    save_checkpoint(path, state, extra={"epoch": 3})  # clears stale .new
+    assert load_checkpoint(path)["extra"]["epoch"] == 3
+
+    # crash window B: mid-swap — target renamed away, .new complete
+    save_dir = str(tmp_path / "stage")
+    save_checkpoint(save_dir, state, extra={"epoch": 4})
+    os.rename(path, path + ".old")
+    shutil.move(save_dir, path + ".new")
+    assert checkpoint_exists(path)
+    assert load_checkpoint(path)["extra"]["epoch"] == 4  # .new preferred
+    shutil.rmtree(path + ".new")
+    assert load_checkpoint(path)["extra"]["epoch"] == 3  # .old fallback
+    assert checkpoint_exists(path)
+    shutil.rmtree(path + ".old")
+    assert not checkpoint_exists(path)
+
+
 def test_sox_chain_augmentator():
     """The sox-style chain (ref Data.py:652-746 rebuilt on scipy): shape/
     dtype preserved, finite output, deterministic under a seeded rng, and

@@ -71,6 +71,15 @@ def main(argv=None):
                         "host fetch is a device sync (~27 ms on a tunneled "
                         "chip), so batching keeps steps async. NaN abort is "
                         "deferred by at most N steps. 1 = per-step prints")
+    parser.add_argument("--linkInt16", default="auto",
+                        choices=["auto", "force", "off"],
+                        help="upload audio as int16 and dequantize on device "
+                        "(halves host->device traffic per step — the upload "
+                        "is the step bottleneck on a tunneled chip).  'auto' "
+                        "uses int16 only when the batch is exactly int16-"
+                        "representable (un-augmented wav audio is); 'force' "
+                        "rounds+clips (augmented audio; quant noise ~-90 dB, "
+                        "far below the augmentation chain's)")
     args = parser.parse_args(argv)
 
     from ..utils.jax_setup import setup_cache
@@ -93,7 +102,11 @@ def main(argv=None):
     from ..ops import frontend
     from ..parallel import make_mesh
     from ..train import init_train_state, make_optimizer, make_train_step
-    from ..train.checkpoint import load_checkpoint, save_checkpoint
+    from ..train.checkpoint import (
+        checkpoint_exists,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from ..train.step import TrainState
     from ..train.optim import QuantileClipState
 
@@ -148,7 +161,7 @@ def main(argv=None):
     start_epoch = 0
 
     ckpt_path = args.saved_filename
-    if os.path.exists(ckpt_path):
+    if checkpoint_exists(ckpt_path):
         from ..train.checkpoint import restore_opt_state
 
         print("resuming from checkpoint...")
@@ -190,11 +203,16 @@ def main(argv=None):
             convIRFolder=args.irFolder,
         )
 
-    frame_fn = jax.jit(
-        lambda x: frontend.make_frame(
+    def _frame(x):
+        if x.dtype == jnp.int16:  # device-side dequantize (static under jit)
+            x = x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        return frontend.make_frame(
             jnp.swapaxes(x, -1, -2), conf.hopSize, conf.windowSize
         )
-    )
+
+    frame_fn = jax.jit(_frame)
+    link_mode = {"auto": None, "force": True, "off": False}[args.linkInt16]
+    from ..models.transkun import _quantize_link
 
     global_step = int(state.step)
     for epoch in range(start_epoch, args.maxEpoch):
@@ -233,7 +251,7 @@ def main(argv=None):
             # step (a fresh XLA compile per step otherwise)
             audio = audio[:, : min(n_chunk_samples, audio.shape[1])]
             notes_batch = batch["notes"]
-            frames = frame_fn(jnp.asarray(audio))
+            frames = frame_fn(jnp.asarray(_quantize_link(audio, link_mode)))
             labels = encode_batch(
                 notes_batch, conf.hopSize / conf.fs, model.targetMIDIPitch,
                 args.maxEvents,
@@ -256,6 +274,11 @@ def main(argv=None):
                      for _, _, _, m in pending_log]
                 )
                 dt = (t_flush - t_log0) / len(pending_log)
+                try:  # host RSS (GB): long-run leak canary, linux only
+                    with open("/proc/self/statm") as f:
+                        rss_gb = int(f.read().split()[1]) * 4096 / 2**30
+                except Exception:
+                    rss_gb = float("nan")
                 bad_step = None
                 for (ep_i, idx_i, gs_i, _), (loss, gnorm, clipv, fin) in zip(
                     pending_log, fetched
@@ -264,7 +287,9 @@ def main(argv=None):
                     print(
                         f"epoch:{ep_i} progress:{idx_i / max(len(loader),1):0.3f} "
                         f"step:{gs_i} loss:{loss:0.4f} gradNorm:{gnorm:0.2f} "
-                        f"clipValue:{clipv:0.2f} time:{dt:0.2f}"
+                        f"clipValue:{clipv:0.2f} time:{dt:0.2f} "
+                        f"rss:{rss_gb:0.1f}",
+                        flush=True,
                     )
                     if writer:
                         writer.add_scalar("Loss/train", loss, gs_i)
@@ -322,7 +347,7 @@ def main(argv=None):
                         {"loss_tracker": loss_tracker, "epoch": epoch,
                          "run_seed": run_seed},
                     )
-                    print("saved")
+                    print("saved", flush=True)
             global_step += 1
 
         # distributed validation: every rank validates its own loader shard
@@ -351,7 +376,7 @@ def main(argv=None):
 
         val_params = jax.device_get(state.params) if multi_host else state.params
         if rank == 0:
-            print("Validating...")
+            print("Validating...", flush=True)
         val_iter = D.DatasetMaestroIterator(
             dataset_val,
             conf.segmentHopSizeInSecond,
@@ -370,7 +395,7 @@ def main(argv=None):
         )
         val_result = _metrics_from_agg(aggregate_across_processes(counts))
         if rank == 0:
-            print("result:", val_result)
+            print("result:", val_result, flush=True)
             if writer:
                 for k, v in val_result.items():
                     writer.add_scalar("val/" + k, v, epoch)
@@ -378,7 +403,7 @@ def main(argv=None):
             loss_tracker["train"].append(sum(loss_all) / max(len(loss_all), 1))
             loss_tracker["val"].append(val_result["f1"])
             if val_result["f1"] >= max(loss_tracker["val"]):
-                print("best updated")
+                print("best updated", flush=True)
                 best_params = val_params
             save_checkpoint(
                 ckpt_path,

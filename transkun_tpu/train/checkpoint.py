@@ -16,10 +16,23 @@ import numpy as np
 
 
 def save_checkpoint(path: str, state, best_params=None, extra: Optional[Dict] = None):
-    """Save train state (params, opt state, clip buffer, step) + best params."""
+    """Save train state (params, opt state, clip buffer, step) + best params.
+
+    Crash-safe overwrite: orbax's ``save(force=True)`` DELETES the existing
+    checkpoint before the new one is durable, so a crash mid-save (observed:
+    the host OOM-killer during a long run) loses both the old and the new
+    state.  Instead the new checkpoint is written to ``path + ".new"`` and
+    swapped in with atomic renames; at every instant either ``path``,
+    ``path + ".new"`` (complete, mid-swap) or ``path + ".old"`` (pre-swap
+    copy) holds a complete checkpoint, and ``load_checkpoint`` falls back in
+    that order.
+    """
+    import shutil
+
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
+    path = os.path.abspath(path.rstrip("/"))
+    new_path, old_path = path + ".new", path + ".old"
     ckpt = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -31,8 +44,27 @@ def save_checkpoint(path: str, state, best_params=None, extra: Optional[Dict] = 
         ckpt["best_params"] = best_params
     if extra:
         ckpt["extra"] = extra
+    if os.path.exists(new_path):  # stale leftover from a crashed save
+        shutil.rmtree(new_path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, ckpt, force=True)
+        ckptr.save(new_path, ckpt)
+    # swap: the old checkpoint survives (as .old) until the rename completes
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    if os.path.exists(path):
+        os.rename(path, old_path)
+    os.rename(new_path, path)
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+
+
+def checkpoint_exists(path: str) -> bool:
+    """True if ``path`` or one of its crash-recovery siblings holds a
+    checkpoint (use instead of ``os.path.exists`` for resume decisions)."""
+    path = os.path.abspath(path.rstrip("/"))
+    return any(
+        os.path.isdir(p) for p in (path, path + ".new", path + ".old")
+    )
 
 
 def load_checkpoint(path: str, to_host: bool = True) -> Dict[str, Any]:
@@ -49,17 +81,33 @@ def load_checkpoint(path: str, to_host: bool = True) -> Dict[str, Any]:
     """
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        if not to_host:
-            return ckptr.restore(path)
-        meta = ckptr.metadata(path)
-        meta = getattr(meta, "item_metadata", meta)
-        meta = getattr(meta, "tree", meta)
-        restore_args = jax.tree.map(
-            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
-        )
-        return ckptr.restore(path, restore_args=restore_args)
+    path = os.path.abspath(path.rstrip("/"))
+    # crash-recovery order (see save_checkpoint): a missing/incomplete
+    # ``path`` means a save crashed mid-swap — ``path.new`` (newer, complete
+    # before the swap began) then ``path.old`` (the pre-save state) hold a
+    # complete checkpoint
+    candidates = [path, path + ".new", path + ".old"]
+    existing = [p for p in candidates if os.path.isdir(p)]
+    if not existing:
+        raise FileNotFoundError(f"Checkpoint at {path} not found.")
+    last_err = None
+    for cand in existing:
+        try:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                if not to_host:
+                    return ckptr.restore(cand)
+                meta = ckptr.metadata(cand)
+                meta = getattr(meta, "item_metadata", meta)
+                meta = getattr(meta, "tree", meta)
+                restore_args = jax.tree.map(
+                    lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+                )
+                return ckptr.restore(cand, restore_args=restore_args)
+        except Exception as e:  # partial write from the pre-atomic format
+            last_err = e
+            if cand != path:
+                print(f"checkpoint fallback: {cand} unreadable ({e})")
+    raise last_err
 
 
 def restore_opt_state(restored, template):
