@@ -373,6 +373,29 @@ def test_quantize_link_auto_detect():
     assert _quantize_link(i16, None) is i16
 
 
+def test_quantize_link_trainer_scale():
+    """scale=32767 (the training slicer's iinfo.max normalization, ref
+    Data.py:416-419): auto-detect recovers every int16 value exactly and the
+    trainer's divide-dequantize reproduces the loader floats bit-exactly."""
+    from transkun_tpu.models.transkun import _quantize_link
+
+    ints = np.arange(-32768, 32768, dtype=np.int32)
+    # exactly the loader formula: np.divide(i, iinfo.max, dtype=f32)
+    x = np.divide(ints, 32767, dtype=np.float32)[None, :]
+
+    q = _quantize_link(x, None, scale=32767.0)
+    assert q.dtype == np.int16
+    assert np.array_equal(q[0].astype(np.int32), ints)
+    # trainer dequant (cli/train.py _frame): int16 -> f32 DIVIDE by 32767
+    assert np.array_equal(q.astype(np.float32) / np.float32(32767.0), x)
+
+    # read_audio-normalized (2^15) audio is NOT 32767-exact -> f32 fallback
+    y = (ints.astype(np.float32) / 32768.0)[None, :]
+    assert _quantize_link(y, None, scale=32767.0).dtype == np.float32
+    # and vice versa under the default decode scale
+    assert _quantize_link(x, None).dtype == np.float32
+
+
 def test_transcribe_boundary_piece_lengths(corpus):
     """Chunk-grid edge cases: pieces shorter than one segment, lengths
     landing exactly on segment/chunk boundaries, and one sample off either

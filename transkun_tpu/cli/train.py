@@ -205,7 +205,11 @@ def main(argv=None):
 
     def _frame(x):
         if x.dtype == jnp.int16:  # device-side dequantize (static under jit)
-            x = x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+            # DIVISION, not reciprocal-multiply: fl(i/32767) reproduces the
+            # loader's np.divide(result, 32767, dtype=f32) bit-exactly for
+            # every int16 value (verified exhaustively); multiply by
+            # fl(1/32767) is 1 ulp off for some values
+            x = x.astype(jnp.float32) / jnp.float32(32767.0)
         return frontend.make_frame(
             jnp.swapaxes(x, -1, -2), conf.hopSize, conf.windowSize
         )
@@ -213,6 +217,10 @@ def main(argv=None):
     frame_fn = jax.jit(_frame)
     link_mode = {"auto": None, "force": True, "off": False}[args.linkInt16]
     from ..models.transkun import _quantize_link
+
+    # the training slicer normalizes by iinfo.max = 32767 (ref Data.py:416-419
+    # convention), NOT read_audio's 2^15 — the link scale must match
+    LINK_SCALE = 32767.0
 
     global_step = int(state.step)
     for epoch in range(start_epoch, args.maxEpoch):
@@ -251,7 +259,9 @@ def main(argv=None):
             # step (a fresh XLA compile per step otherwise)
             audio = audio[:, : min(n_chunk_samples, audio.shape[1])]
             notes_batch = batch["notes"]
-            frames = frame_fn(jnp.asarray(_quantize_link(audio, link_mode)))
+            frames = frame_fn(
+                jnp.asarray(_quantize_link(audio, link_mode, LINK_SCALE))
+            )
             labels = encode_batch(
                 notes_batch, conf.hopSize / conf.fs, model.targetMIDIPitch,
                 args.maxEvents,

@@ -341,27 +341,33 @@ def log_prob_padded(
     return logp + attr
 
 
-def _quantize_link(x: np.ndarray, mode: Optional[bool]) -> np.ndarray:
+def _quantize_link(
+    x: np.ndarray, mode: Optional[bool], scale: float = 32768.0
+) -> np.ndarray:
     """Pick the link dtype for a waveform ``[C, n]``: int16 when every sample
-    is exactly int16/2^15 (every decoded wav/mp3 is — halves link traffic,
-    device dequantizes), else float32.  ``mode``: None = auto-detect,
-    False = force f32, True = force (clipping) int16.
+    is exactly int16/scale (halves link traffic, device dequantizes with the
+    SAME scale for bit-exact reconstruction), else float32.  ``mode``:
+    None = auto-detect, False = force f32, True = force (clipping) int16.
+
+    ``scale`` is the normalization the float audio came from: 2^15 for
+    ``read_audio`` (decode path, torchaudio convention), 32767 = iinfo.max
+    for the training slicer (ref ``Data.py:416-419`` convention).
 
     The auto-detect runs as ONE blocked traversal (L2-resident blocks,
-    early bailout): scale by 2^15 is exact in f32, so rint(xs) == xs iff
-    the block is int16-representable."""
+    early bailout): int16*scale roundtrips exactly in f32 for both scales,
+    so rint(xs) == xs iff the block is int16-representable."""
     if x.dtype == np.int16:
         return x
     if mode is False:
         return x.astype(np.float32)
     if mode is True:
         return np.clip(
-            np.round(x * x.dtype.type(32768.0)), -32768, 32767
+            np.round(x * x.dtype.type(scale)), -32768, 32767
         ).astype(np.int16)
     link16 = np.empty(x.shape, np.int16)
     blk = 1 << 19
     for lo in range(0, x.shape[-1], blk):
-        xs = x[..., lo : lo + blk] * x.dtype.type(32768.0)
+        xs = x[..., lo : lo + blk] * x.dtype.type(scale)
         xi = np.rint(xs)
         if (
             xi.max(initial=0.0) > 32767
