@@ -32,8 +32,21 @@ from transkun_tpu.data.note import Note, resolve_overlapping  # noqa: E402
 FS = 44100
 
 
-def synth_piece(rng: np.random.Generator, dur: float):
-    """Random polyphonic piece: returns (float32 audio, note list)."""
+def synth_piece(rng: np.random.Generator, dur: float, sustain: bool = True):
+    """Random polyphonic piece: returns (float32 audio, note list).
+
+    With ``sustain=True`` the pedal is rendered acoustically, so pedal events
+    are OBSERVABLE from the audio (round-3 corpora did not render it, making
+    pedal F1 zero by construction):
+
+    - notes whose key-release falls inside a CC64 segment keep ringing until
+      the pedal release (the same extension rule the label pipeline applies,
+      ``data/note.py:extend_pedal`` / ref ``Data.py:130-168``), then damp
+      over 30 ms — pedal release is audible as the simultaneous damping of
+      every ringing tail;
+    - pedal press/release each add a faint low-passed mechanical thump
+      (dampers lifting off / returning to the strings — the cue real models
+      pick up in MAESTRO recordings)."""
     notes = []
     t = float(rng.uniform(0.2, 0.6))
     while t < dur - 1.0:
@@ -61,13 +74,34 @@ def synth_piece(rng: np.random.Generator, dur: float):
         notes.append(Note(t, min(t + seg, dur - 0.1), -64, 127))
         t += seg + float(rng.uniform(1.0, 4.0))
 
+    pedal_segs = [(n.start, n.end) for n in notes if n.pitch == -64]
+    key_notes = sorted(
+        (n for n in notes if n.pitch > 0), key=lambda n: (n.start, n.end)
+    )
+    # acoustic end per note: extend-to-pedal-release + re-truncate at the
+    # next same-pitch strike — exactly extend_pedal's rule, applied to the
+    # RENDERING only (labels keep the nominal key-release times)
+    render_end = [n.end for n in key_notes]
+    if sustain:
+        for i, n in enumerate(key_notes):
+            for ps, pe in pedal_segs:
+                if ps < n.end < pe:
+                    render_end[i] = max(render_end[i], pe)
+        next_onset = {}
+        for i in reversed(range(len(key_notes))):
+            n = key_notes[i]
+            nxt = next_onset.get(n.pitch)
+            if nxt is not None and n.start < nxt < render_end[i]:
+                render_end[i] = nxt
+            next_onset[n.pitch] = n.start
+
     x = np.zeros(int(dur * FS), np.float32)
     tt = np.arange(len(x), dtype=np.float32) / FS
-    for n in notes:
-        if n.pitch <= 0:
-            continue
+    release_s = 0.03  # damper fall time
+    for n, rend in zip(key_notes, render_end):
         f0 = 440.0 * 2.0 ** ((n.pitch - 69) / 12.0)
-        i0, i1 = int(n.start * FS), int(n.end * FS)
+        rend = min(rend + release_s, dur - 1.0 / FS)
+        i0, i1 = int(n.start * FS), int(rend * FS)
         seg_t = tt[i0:i1] - np.float32(n.start)
         amp = 0.08 * (n.velocity / 127.0)
         # velocity-dependent decay, faster for high pitches (piano-ish)
@@ -80,9 +114,29 @@ def synth_piece(rng: np.random.Generator, dur: float):
             tone += (1.0 / k**2) * np.sin(
                 2 * np.pi * fk * seg_t + float(rng.uniform(0, 2 * np.pi))
             ).astype(np.float32)
-        # 5 ms attack ramp to avoid clicks (and give onsets a clean edge)
+        # 5 ms attack ramp to avoid clicks (and give onsets a clean edge);
+        # 30 ms damping ramp at the (possibly pedal-extended) end
         attack = np.minimum(seg_t / 0.005, 1.0).astype(np.float32)
-        x[i0:i1] += amp * attack * decay * tone
+        damp = np.minimum(
+            (np.float32(rend - n.start) - seg_t) / release_s, 1.0
+        ).astype(np.float32)
+        x[i0:i1] += amp * attack * np.maximum(damp, 0.0) * decay * tone
+    if sustain:
+        # mechanical pedal thumps: 25 ms low-passed noise bursts at press
+        # and (slightly stronger) release
+        from scipy.signal import lfilter
+
+        n_th = int(0.025 * FS)
+        env = np.exp(-np.arange(n_th, dtype=np.float32) / (0.006 * FS))
+        for ps, pe in pedal_segs:
+            for t_ev, gain in ((ps, 0.030), (pe, 0.045)):
+                i0 = int(t_ev * FS)
+                if i0 + n_th >= len(x):
+                    continue
+                burst = rng.normal(0, 1.0, n_th).astype(np.float32)
+                burst = lfilter([1.0], [1.0, -0.97], burst).astype(np.float32)
+                burst /= max(np.abs(burst).max(), 1e-6)
+                x[i0 : i0 + n_th] += gain * env * burst
     # light tape hiss so the model sees a non-zero noise floor
     x += rng.normal(0, 1e-4, size=len(x)).astype(np.float32)
     # same-pitch re-strikes overlap freely during generation; truncate like
@@ -99,6 +153,9 @@ def main(argv=None):
     ap.add_argument("--test", type=int, default=3)
     ap.add_argument("--dur", type=float, default=60.0)
     ap.add_argument("--seed", type=int, default=20260818)
+    ap.add_argument("--noSustainRender", action="store_true",
+                    help="round-3 behavior: pedal in MIDI only, not rendered "
+                    "into the audio (pedal tracks unobservable)")
     args = ap.parse_args(argv)
 
     from transkun_tpu.data.midi import write_midi
@@ -114,7 +171,9 @@ def main(argv=None):
     for i, split in enumerate(splits):
         wav = f"{year}/synth{i:03d}.wav"
         mid = f"{year}/synth{i:03d}.midi"
-        audio, notes = synth_piece(rng, args.dur)
+        audio, notes = synth_piece(
+            rng, args.dur, sustain=not args.noSustainRender
+        )
         wavfile.write(
             os.path.join(root, wav), FS,
             (audio * 32000).astype(np.int16),

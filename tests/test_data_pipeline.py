@@ -280,3 +280,60 @@ def test_augmented_chunk_cost_feeds_flagship_cadence():
     # 0.127 s measured on this 1-core host; generous 4x margin for CI noise.
     # At 0.5 s/chunk a 10-core host still feeds B=2 flagship training.
     assert per_chunk < 0.5, f"augmented chunk costs {per_chunk:.3f} core-s"
+
+
+def test_synth_corpus_renders_sustain():
+    """Pedal events must be OBSERVABLE in the synthetic corpus audio
+    (round-4 gap: the round-3 corpus put CC64 in the MIDI only, so pedal F1
+    was zero by construction).  With sustain rendering: (a) a note released
+    inside a pedal segment keeps ringing past its nominal offset, (b) pedal
+    press/release leave a mechanical-thump transient, (c) labels keep the
+    NOMINAL key-release times (the extension is acoustic only)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from make_synth_corpus import FS, synth_piece
+
+    rng = np.random.default_rng(7)
+    x, notes = synth_piece(rng, 20.0, sustain=True)
+    x0, notes0 = synth_piece(np.random.default_rng(7), 20.0, sustain=False)
+
+    # (c) identical note lists — rendering only
+    assert [(n.start, n.end, n.pitch, n.velocity) for n in notes] == [
+        (n.start, n.end, n.pitch, n.velocity) for n in notes0
+    ]
+    assert np.isfinite(x).all() and np.abs(x).max() <= 1.0
+
+    peds = [n for n in notes if n.pitch == -64]
+    keys = [n for n in notes if n.pitch > 0]
+    assert peds and keys
+
+    # (a) post-offset tail energy under pedal exceeds the unsustained
+    # render.  Measured at each note's own fundamental (Goertzel
+    # projection) so overlapping notes at other pitches don't mask the
+    # tail; at least half the pedal-held notes must show a clear ring-on.
+    def f0_energy(sig, f0, t0, t1):
+        seg = sig[int(t0 * FS) : int(t1 * FS)].astype(np.float64)
+        ph = np.exp(-2j * np.pi * f0 * np.arange(len(seg)) / FS)
+        return float(np.abs((seg * ph).mean()))
+
+    pairs = [
+        (n, p) for n in keys for p in peds if p.start < n.end < p.end - 0.3
+    ]
+    assert pairs
+    ratios = []
+    for n, _ in pairs:
+        f0 = 440.0 * 2.0 ** ((n.pitch - 69) / 12.0)
+        e = f0_energy(x, f0, n.end + 0.05, n.end + 0.25)
+        e0 = f0_energy(x0, f0, n.end + 0.05, n.end + 0.25)
+        ratios.append(e / max(e0, 1e-12))
+    ratios = sorted(ratios)
+    assert ratios[len(ratios) // 2] > 1.5, ratios
+
+    # (b) thump transient at every pedal press: the renders share note
+    # phases (same rng draws), so the difference signal isolates the
+    # sustain-only content — it must carry energy at each press instant
+    for p in peds:
+        i0, i1 = int(p.start * FS), int(p.start * FS) + int(0.02 * FS)
+        d = float(np.sqrt(((x[i0:i1] - x0[i0:i1]) ** 2).mean()))
+        assert d > 0.002, (p.start, d)
