@@ -79,11 +79,26 @@ def main(argv=None):
         float(step(a))
         del a
 
+    small = host[: 64 * 1024 // 4].copy()  # 64 KB
+
+    def upload_small():
+        a = jax.device_put(small, dev)
+        a.block_until_ready()
+        del a
+
+    big_dev = jax.device_put(host, dev)
+    big_dev.block_until_ready()
+
+    def fetch():
+        np.asarray(big_dev)
+
     for name, fn in [
         ("upload", upload),
         ("upload_del", upload_del),
         ("compute", compute),
         ("up+compute", up_compute),
+        ("upload_64k", upload_small),
+        ("fetch", fetch),
     ]:
         s = slope(fn, args.iters)
         print(

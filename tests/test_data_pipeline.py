@@ -127,12 +127,18 @@ def test_checkpoint_roundtrip(tmp_path):
     opt = make_optimizer(params["params"])
     state = init_train_state(params, opt)
     path = str(tmp_path / "ckpt")
-    save_checkpoint(path, state, best_params=params, extra={"epoch": 3})
+    # a string leaf (warmstart provenance) must roundtrip too: the host-side
+    # restore may only force np.ndarray on ARRAY leaves (regression: forcing
+    # it on a string made orbax look for a zarr array that was never written)
+    save_checkpoint(path, state, best_params=params,
+                    extra={"epoch": 3, "warmstart_from": "/some/donor"})
     ckpt = load_checkpoint(path)
     assert int(ckpt["step"]) == 0
     assert ckpt["extra"]["epoch"] == 3
+    assert ckpt["extra"]["warmstart_from"] == "/some/donor"
     # default restore is device-free (tunnel-robust): every leaf lands on host
-    assert all(isinstance(l, np.ndarray) for l in jax.tree.leaves(ckpt))
+    assert all(isinstance(l, (np.ndarray, str))
+               for l in jax.tree.leaves(ckpt))
     restored = load_params(path, conf)
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(restored)[0]
@@ -337,3 +343,87 @@ def test_synth_corpus_renders_sustain():
         i0, i1 = int(p.start * FS), int(p.start * FS) + int(0.02 * FS)
         d = float(np.sqrt(((x[i0:i1] - x0[i0:i1]) ** 2).mean()))
         assert d > 0.002, (p.start, d)
+
+
+@pytest.mark.quick
+def test_device_dataset_matches_host_loader(pickle_dataset):
+    """Device-resident corpus slicing must reproduce the host loader: same
+    floor(begin*fs) grid, zeros outside the piece, and a dequantize that is
+    BIT-IDENTICAL to the production int16-link path (the same in-jit f32
+    divide).  Vs the host loader's np.divide floats the only difference is
+    XLA's divide lowering (reciprocal-multiply on some backends): <= 1 ulp,
+    asserted here too."""
+    import jax
+    import jax.numpy as jnp
+
+    from transkun_tpu.data.device_dataset import DeviceDataset
+    from transkun_tpu.models.transkun import _quantize_link
+
+    root, pkl = pickle_dataset
+    ds = D.DatasetMaestro(root, pkl)
+    chunk_s, n_chunk = 2.0, 2 * FS
+    dd = DeviceDataset(ds, n_chunk)
+    assert dd.fs == FS
+
+    it_host = D.DatasetMaestroIterator(
+        ds, 1.0, chunk_s, seed=7, notes_strictly_contained=False
+    )
+    it_dev = D.DatasetMaestroIterator(
+        ds, 1.0, chunk_s, seed=7, notes_strictly_contained=False,
+        skip_audio=True,
+    )
+    assert it_host.chunksAll == it_dev.chunksAll
+    # overhanging chunks (zero-padded edges) must be part of the comparison
+    assert any(b < 0 for _, b, _ in it_host.chunksAll)
+
+    # the trainer's device dequantize (cli/train.py _frame, int16 link mode)
+    dequant = jax.jit(lambda x: x.astype(jnp.float32) / jnp.float32(32767.0))
+
+    host = D.BatchLoader(it_host, 4, shuffle=True, seed=3, num_workers=0)
+    dev = D.BatchLoader(it_dev, 4, shuffle=True, seed=3, num_workers=0,
+                        collate=D.collate_fn_device)
+    n_cmp = 0
+    for hb, db in zip(host, dev):
+        ref_f32 = hb["audioSlices"][:, :n_chunk]
+        ref_i16 = _quantize_link(ref_f32, None, 32767.0)
+        assert ref_i16.dtype == np.int16  # loader floats are 32767-exact
+        got = np.asarray(
+            dd.slice_batch(dd.starts_for(db["pieceIdx"], db["begins"]))
+        )[:, : ref_f32.shape[1]]
+        # bit-identical to the int16-link training path
+        np.testing.assert_array_equal(got, np.asarray(dequant(ref_i16)))
+        # <= 1 ulp vs the host loader's np.divide floats
+        ulp = np.abs(
+            got.view(np.int32).astype(np.int64)
+            - ref_f32.view(np.int32).astype(np.int64)
+        )
+        assert ulp.max() <= 1
+        n_cmp += 1
+        # labels come through identically (same chunk enumeration)
+        assert [
+            [(n.start, n.end, n.pitch) for n in notes] for notes in hb["notes"]
+        ] == [
+            [(n.start, n.end, n.pitch) for n in notes] for notes in db["notes"]
+        ]
+    assert n_cmp > 0
+
+
+@pytest.mark.quick
+def test_device_dataset_sharded_slicing(pickle_dataset):
+    """Under a dp mesh the packed corpus is replicated and the sliced batch
+    comes out dp-sharded; values must match the unsharded slice."""
+    import jax
+
+    from transkun_tpu.data.device_dataset import DeviceDataset
+    from transkun_tpu.parallel import make_mesh
+
+    root, pkl = pickle_dataset
+    ds = D.DatasetMaestro(root, pkl)
+    n_chunk = 2 * FS
+    mesh = make_mesh(8)
+    dd_mesh = DeviceDataset(ds, n_chunk, mesh=mesh)
+    dd = DeviceDataset(ds, n_chunk)
+    starts = dd.starts_for([0, 1, 2, 0, 1, 2, 0, 1], [0.0, 0.5, 1.0, -0.5, 3.5, 2.0, 1.5, 0.25])
+    out = dd_mesh.slice_batch(starts)
+    assert {d.id for d in out.devices()} == {d.id for d in mesh.devices.flat}
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(dd.slice_batch(starts)))

@@ -431,3 +431,51 @@ def test_transcribe_boundary_piece_lengths(corpus):
             assert (na.pitch, na.velocity, na.start, na.end) == (
                 nb.pitch, nb.velocity, nb.start, nb.end
             ), n
+
+
+def test_train_device_data_matches_host_loader(corpus, tmp_path):
+    """One epoch of the training CLI with the device-resident corpus
+    (--deviceData on) must produce the SAME final params as the host-loader
+    int16-link path: identical chunk enumeration, identical dequantize
+    (same in-jit divide), identical update stream."""
+    import jax
+
+    from transkun_tpu.cli.create_dataset_maestro import main as build_main
+    from transkun_tpu.cli.train import main as train_main
+    from transkun_tpu.train.checkpoint import load_checkpoint
+
+    root, meta = corpus
+    out = tmp_path / "data"
+    build_main([str(root), str(meta), str(out)])
+    conf_path = tmp_path / "tiny.conf"
+    with open(conf_path, "w") as f:
+        json.dump(TINY_CONF, f)
+
+    def run(ckpt_name, device_mode):
+        ckpt = tmp_path / ckpt_name
+        train_main(
+            [
+                str(ckpt),
+                "--datasetPath", str(root),
+                "--datasetMetaFile_train", str(out / "train.pickle"),
+                "--datasetMetaFile_val", str(out / "val.pickle"),
+                "--modelConf", str(conf_path),
+                "--batchSize", "2",
+                "--maxEpoch", "1",
+                "--nDevices", "2",
+                "--nIter", "100",
+                "--statsEvery", "0",
+                "--maxEvents", "16",
+                "--seed", "11",
+                "--deviceData", device_mode,
+            ]
+        )
+        return load_checkpoint(str(ckpt))
+
+    a = run("ckpt_dev", "on")
+    b = run("ckpt_host", "off")
+    assert int(a["step"]) == int(b["step"]) > 0
+    flat_a = jax.tree_util.tree_leaves_with_path(a["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b["params"]))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path], err_msg=str(path))

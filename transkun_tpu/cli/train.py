@@ -71,6 +71,17 @@ def main(argv=None):
                         "host fetch is a device sync (~27 ms on a tunneled "
                         "chip), so batching keeps steps async. NaN abort is "
                         "deferred by at most N steps. 1 = per-step prints")
+    parser.add_argument("--deviceData", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="pack the whole training corpus onto the device "
+                        "once (int16) and slice chunks on device, instead of "
+                        "uploading audio every step.  Removes the per-step "
+                        "host->device transfer (the step bottleneck AND a "
+                        "client-side leak on tunneled chips — see "
+                        "scripts/probe_axon_leak.py).  'auto' uses it when "
+                        "the corpus fits, augmentation is off, and the run "
+                        "is single-process; bit-identical to the host "
+                        "loader's int16-link path")
     parser.add_argument("--linkInt16", default="auto",
                         choices=["auto", "force", "off"],
                         help="upload audio as int16 and dequantize on device "
@@ -195,6 +206,7 @@ def main(argv=None):
 
     hop = args.hopSize or conf.segmentHopSizeInSecond
     chunk = args.chunkSize or conf.segmentSizeInSecond
+    n_chunk_samples = int(chunk * conf.fs)
     augmentator = None
     if args.augment:
         augmentator = Augmentator(
@@ -203,12 +215,44 @@ def main(argv=None):
             convIRFolder=args.irFolder,
         )
 
+    device_data = None
+    if args.deviceData != "off":
+        blockers = []
+        if multi_host:
+            blockers.append("multi-process run")
+        if augmentator is not None:
+            blockers.append("host augmentation")
+        if blockers:
+            if args.deviceData == "on":
+                raise SystemExit(
+                    f"--deviceData on is incompatible with: {', '.join(blockers)}"
+                )
+        else:
+            from ..data.device_dataset import DeviceDataset
+
+            try:
+                device_data = DeviceDataset(
+                    dataset, n_chunk_samples, mesh=mesh
+                )
+                if rank == 0:
+                    print(
+                        f"device-resident corpus: "
+                        f"{device_data.nbytes / 2**30:.2f} GiB int16 on device",
+                        flush=True,
+                    )
+            except ValueError as e:
+                if args.deviceData == "on":
+                    raise
+                print(f"device dataset unavailable ({e}); using host loader")
+
     def _frame(x):
         if x.dtype == jnp.int16:  # device-side dequantize (static under jit)
-            # DIVISION, not reciprocal-multiply: fl(i/32767) reproduces the
-            # loader's np.divide(result, 32767, dtype=f32) bit-exactly for
-            # every int16 value (verified exhaustively); multiply by
-            # fl(1/32767) is 1 ulp off for some values
+            # f32 divide by the loader's iinfo.max scale.  NOTE: inside jit
+            # XLA may lower this to reciprocal-multiply, so vs the loader's
+            # np.divide floats the result is within 1 ulp on ~2.3% of int16
+            # values (measured exhaustively on the cpu backend and observed
+            # on the chip; an explicit host-side reciprocal-multiply would
+            # be 1 ulp off on MORE values, so divide stays)
             x = x.astype(jnp.float32) / jnp.float32(32767.0)
         return frontend.make_frame(
             jnp.swapaxes(x, -1, -2), conf.hopSize, conf.windowSize
@@ -229,17 +273,19 @@ def main(argv=None):
             seed=epoch * 100 + run_seed,
             augmentator=augmentator,
             notes_strictly_contained=False,
+            skip_audio=device_data is not None,
         )
         # each process loads its own rank's shard of the epoch's chunks
         # (the reference's DistributedSampler, train.py:120-124)
         loader = D.BatchLoader(
             data_iter, local_batch, shuffle=True, seed=epoch, drop_last=True,
             rank=rank, world_size=world, num_workers=args.dataLoaderWorkers,
+            collate=(D.collate_fn_device if device_data is not None
+                     else D.collate_fn_batching),
         )
         loss_all = []
         pending_log = []
         t_log0 = time.time()
-        n_chunk_samples = int(chunk * conf.fs)
 
         def to_global(arr):
             """Process-local batch shard -> global dp-sharded array."""
@@ -253,15 +299,24 @@ def main(argv=None):
 
         for idx, batch in enumerate(loader):
             t1 = time.time()
-            audio = batch["audioSlices"]
-            # chunk boundaries are float seconds, so raw lengths jitter by a
-            # sample; crop to a fixed size so ONE program shape serves every
-            # step (a fresh XLA compile per step otherwise)
-            audio = audio[:, : min(n_chunk_samples, audio.shape[1])]
             notes_batch = batch["notes"]
-            frames = frame_fn(
-                jnp.asarray(_quantize_link(audio, link_mode, LINK_SCALE))
-            )
+            if device_data is not None:
+                # audio never crosses the link: slice the packed on-device
+                # corpus (two int32 scalars per item is the whole upload)
+                audio_dev = device_data.slice_batch(
+                    device_data.starts_for(batch["pieceIdx"], batch["begins"])
+                )
+                audio = None
+                frames = frame_fn(audio_dev)
+            else:
+                audio = batch["audioSlices"]
+                # chunk boundaries are float seconds, so raw lengths jitter
+                # by a sample; crop to a fixed size so ONE program shape
+                # serves every step (a fresh XLA compile per step otherwise)
+                audio = audio[:, : min(n_chunk_samples, audio.shape[1])]
+                frames = frame_fn(
+                    jnp.asarray(_quantize_link(audio, link_mode, LINK_SCALE))
+                )
             labels = encode_batch(
                 notes_batch, conf.hopSize / conf.fs, model.targetMIDIPitch,
                 args.maxEvents,
@@ -325,6 +380,8 @@ def main(argv=None):
                 # decode fns are single-device programs: under multi-host,
                 # pull the replicated params to host once for the stats pass
                 sp = jax.device_get(state.params) if multi_host else state.params
+                if audio is None:  # device-resident mode: fetch this batch
+                    audio = np.asarray(audio_dev)
                 stats = model.compute_stats(sp, audio, notes_batch)
                 stats2 = model.compute_stats_mireval(sp, audio, notes_batch)
                 n_gt = stats2["nGT"] + 1e-4

@@ -129,10 +129,13 @@ class DatasetMaestro:
         end: float,
         audio_normalize: bool,
         notes_strictly_contained: bool,
+        want_audio: bool = True,
     ):
         """Fetch [begin, end] seconds of audio + the notes inside, with
         boundary notes either dropped (strict) or trimmed and flagged
-        (ref ``fetchData``, ``Data.py:528-574``)."""
+        (ref ``fetchData``, ``Data.py:528-574``).  ``want_audio=False``
+        skips the wav read (device-resident datasets slice audio on
+        device; the loader then only prepares labels)."""
         e = self.data[idx]
         if end < 0 and begin < 0:
             note_indices = []
@@ -157,6 +160,8 @@ class DatasetMaestro:
                 )
                 for n in notes
             ]
+        if not want_audio:
+            return notes, None, int(self.data[idx].get("fs", 44100))
         audio, fs = read_audio_slice(self.get_path(idx), begin, end, audio_normalize)
         return notes, audio, fs
 
@@ -176,6 +181,7 @@ class DatasetMaestroIterator:
         dithering_frames: bool = True,
         seed: int = 1234,
         augmentator=None,
+        skip_audio: bool = False,
     ):
         self.dataset = dataset
         self.hopSizeInSecond = hop_size_in_second
@@ -183,6 +189,9 @@ class DatasetMaestroIterator:
         self.audioNormalize = audio_normalize
         self.notesStrictlyContained = notes_strictly_contained
         self.augmentator = augmentator
+        self.skipAudio = skip_audio
+        if skip_audio and augmentator is not None:
+            raise ValueError("augmentation needs host audio (skip_audio)")
 
         rand = random.Random(seed)
         chunks = []
@@ -212,10 +221,12 @@ class DatasetMaestroIterator:
             end,
             audio_normalize=self.audioNormalize,
             notes_strictly_contained=self.notesStrictlyContained,
+            want_audio=not self.skipAudio,
         )
         if self.augmentator is not None:
             audio = self.augmentator(audio)
-        return {"notes": notes, "audioSlice": audio, "fs": fs, "begin": begin}
+        return {"notes": notes, "audioSlice": audio, "fs": fs,
+                "begin": begin, "pieceIdx": idx}
 
 
 def sample_slice(
@@ -257,6 +268,17 @@ def collate_fn_batching(batch):
     assert n_max - n_min < 2
     audio = np.stack([a[:n_min] for a in slices], axis=0)
     return {"notes": notes_batch, "audioSlices": audio}
+
+
+def collate_fn_device(batch):
+    """Collate for device-resident audio (``DeviceDataset``): labels plus
+    the chunk descriptors; the audio itself is sliced on device from the
+    packed corpus array."""
+    return {
+        "notes": [s["notes"] for s in batch],
+        "pieceIdx": np.array([s["pieceIdx"] for s in batch], np.int64),
+        "begins": np.array([s["begin"] for s in batch], np.float64),
+    }
 
 
 def collate_fn_randomized_len(batch):

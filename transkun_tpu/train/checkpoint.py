@@ -99,8 +99,17 @@ def load_checkpoint(path: str, to_host: bool = True) -> Dict[str, Any]:
                 meta = ckptr.metadata(cand)
                 meta = getattr(meta, "item_metadata", meta)
                 meta = getattr(meta, "tree", meta)
+                # only array leaves get the host-ndarray target; scalars and
+                # strings (e.g. extra.warmstart_from) restore as themselves —
+                # forcing np.ndarray on a string leaf makes orbax look for a
+                # zarr array that was never written
                 restore_args = jax.tree.map(
-                    lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+                    lambda m: (
+                        ocp.RestoreArgs(restore_type=np.ndarray)
+                        if getattr(m, "shape", None) is not None
+                        else ocp.RestoreArgs()
+                    ),
+                    meta,
                 )
                 return ckptr.restore(cand, restore_args=restore_args)
         except Exception as e:  # partial write from the pre-atomic format
