@@ -333,12 +333,15 @@ def main(argv=None):
             # (async) step chain at one link RTT each — batch the fetches
             pending_log.append((epoch, idx, global_step, metrics))
             if len(pending_log) >= max(args.logEvery, 1) or idx == len(loader) - 1:
-                t_flush = time.time()
                 fetched = jax.device_get(
                     [(m["loss"], m["grad_norm"], m["clip_value"], m["finite"])
                      for _, _, _, m in pending_log]
                 )
-                dt = (t_flush - t_log0) / len(pending_log)
+                # measured AFTER the fetch: the device_get waits for the
+                # newest step, so this is true wall seconds per step (the
+                # pre-fetch timestamp only measured host dispatch, which in
+                # device-data mode is ~10 ms and wildly understates)
+                dt = (time.time() - t_log0) / len(pending_log)
                 try:  # host RSS (GB): long-run leak canary, linux only
                     with open("/proc/self/statm") as f:
                         rss_gb = int(f.read().split()[1]) * 4096 / 2**30
