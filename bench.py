@@ -7,18 +7,25 @@ mel -> backbone -> scorer -> Viterbi tables on device, pointer walk + event
 assembly on host.  Prints ONE JSON line; vs_baseline is measured against the
 BASELINE.json north star of 50x real time per chip.
 
-Extra fields in the same JSON object (VERDICT r3 item 3 — reconcile headline
-with driver): ``rtf_min``/``rtf_max`` give the observed weather band across
-the 5 trials (the tunneled link's RTT/bandwidth varies session to session);
-``device_rtf`` is the slope-timed decode-program-only ceiling (what the chip
-does once bytes are resident — no link, no host); ``phases_ms`` breaks the
-median trial's wall time into host-quantize / dispatch / device+fetch-drain /
-host-assemble.
+The headline line prints (and flushes) IMMEDIATELY after the timed trials —
+round 4's driver capture timed out because extra diagnostics ran before the
+single print at the end (VERDICT r4 weak #1).  The extras — the slope-timed
+device-only RTF ceiling — now run only when ``TRANSKUN_BENCH_EXTRAS`` is set,
+and print as a SECOND JSON line the driver never waits for.  When they do
+run, they reuse the transcribe path's exact fused-program geometry (bound
+params, segment_batch 1, k_budget 2048), so the section compiles nothing new.
+
+Headline extra fields (VERDICT r3 item 3 — reconcile headline with driver):
+``rtf_min``/``rtf_max`` give the observed weather band across the trials (the
+tunneled link's RTT/bandwidth varies session to session); ``phases_ms`` breaks
+the median trial's wall time into host-quantize / dispatch / device+fetch-
+drain / host-assemble.
 """
 
 import json
 import math
 import os
+import sys
 import time
 
 import numpy as np
@@ -83,41 +90,8 @@ def main(dur=64.0, conf=None, n_trials=5):
                 phases[name] = round((stamps[label] - prev) * 1e3, 1)
                 prev = stamps[label]
 
-    # Device-only ceiling: slope-time the fused sb=1 group program on
-    # device-resident chunks (no link upload, no host assembly).  One group
-    # advances the decode timeline by one 8 s hop.
-    step_sec = model.segmentHopSizeInSecond
-    step_size = math.ceil(step_sec * conf.fs / model.hopSize) * model.hopSize
-    segment_size = math.ceil(model.segmentSizeInSecond * conf.fs)
-    last_frame_idx = round(segment_size / model.hopSize)
-    step_frames = int(step_size / model.hopSize)
-    n_sym = len(model.targetMIDIPitch)
-    n_cover = -(-((0) * step_size + segment_size) // step_size)
-    chunks = [
-        jax.device_put((rng.normal(size=(1, step_size)) * 1638).astype(np.int16))
-        for _ in range(n_cover)
-    ]
-    fn = model._get_fused_chunk_fn(
-        last_frame_idx, step_frames, segment_size, step_size, 1,
-        model.decode_k_max, 2048 * 2, 0, n_cover,
-    )
-    start = jax.device_put(np.zeros((n_sym,), np.int32))
-
-    def chain(n):
-        s = start
-        t0 = time.time()
-        for _ in range(n):
-            out = fn(params, s, *chunks, criterion="hamming", onset_bound=-1)
-            s = out[7]
-        np.asarray(out[6])
-        return time.time() - t0
-
-    chain(1)  # compile
-    lo = min(chain(4) for _ in range(3))
-    hi = min(chain(12) for _ in range(3))
-    per_segment = (hi - lo) / 8
-    device_rtf = step_sec / per_segment if per_segment > 0 else None
-
+    # THE driver line.  Print + flush before anything else runs — one slow
+    # compile or bad link weather in a diagnostic must never lose the capture.
     print(
         json.dumps(
             {
@@ -127,11 +101,74 @@ def main(dur=64.0, conf=None, n_trials=5):
                 "vs_baseline": round(rtf / 50.0, 3),
                 "rtf_min": round(dur / trials[-1][0], 2),
                 "rtf_max": round(dur / trials[0][0], 2),
-                "device_rtf": round(device_rtf, 2) if device_rtf else None,
                 "phases_ms": phases,
             }
-        )
+        ),
+        flush=True,
     )
+
+    if not os.environ.get("TRANSKUN_BENCH_EXTRAS"):
+        return
+
+    # ---- extras (opt-in): device-only ceiling -----------------------------
+    # Slope-time the fused sb=1 group program on device-resident chunks (no
+    # link upload, no host assembly).  One group advances the decode timeline
+    # by one 8 s hop.  All geometry below mirrors _transcribe_start for the
+    # default transcribe() call above, so _get_fused_chunk_fn returns the
+    # ALREADY-COMPILED bound program from the warmup — zero new compiles.
+    try:
+        step_sec = model.segmentHopSizeInSecond
+        seg_sec = model.segmentSizeInSecond
+        step_size = math.ceil(step_sec * conf.fs / model.hopSize) * model.hopSize
+        segment_size = math.ceil(seg_sec * conf.fs)
+        last_frame_idx = round(segment_size / model.hopSize)
+        step_frames = int(step_size / model.hopSize)
+        n_sym = len(model.targetMIDIPitch)
+        pad = math.ceil((seg_sec - step_sec) * conf.fs)
+        chunk_steps = next(c for c in (2, 1) if 1 % c == 0)  # sb=1 heuristic
+        chunk_len = chunk_steps * step_size
+        carve_off = (-pad) % chunk_len
+        n_cover = -(-(carve_off + segment_size) // chunk_len)
+        chunks = [
+            jax.device_put(
+                (rng.normal(size=(1, chunk_len)) * 1638).astype(np.int16)
+            )
+            for _ in range(n_cover)
+        ]
+        fn = model._get_fused_chunk_fn(
+            last_frame_idx, step_frames, segment_size, step_size, 1,
+            model.decode_k_max, 2048 * 1, carve_off, n_cover, params=params,
+        )
+        start = jax.device_put(np.zeros((n_sym,), np.int32))
+
+        def chain(n):
+            s = start
+            t0 = time.time()
+            for _ in range(n):
+                out = fn(s, *chunks, criterion="hamming", onset_bound=-1)
+                s = out[7]
+            np.asarray(out[6])
+            return time.time() - t0
+
+        chain(1)  # cache hit (compiled during warmup); drains the pipe
+        lo = min(chain(4) for _ in range(3))
+        hi = min(chain(12) for _ in range(3))
+        per_segment = (hi - lo) / 8
+        device_rtf = step_sec / per_segment if per_segment > 0 else None
+        print(
+            json.dumps(
+                {
+                    "metric": "transcribe_device_rtf",
+                    "value": round(device_rtf, 2) if device_rtf else None,
+                    "unit": "audio-sec/sec/chip",
+                    "note": "device-resident decode ceiling (no link, no host)",
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:  # extras must never mask the headline
+        print(json.dumps({"metric": "transcribe_device_rtf", "error": str(e)}),
+              file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

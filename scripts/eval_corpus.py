@@ -30,6 +30,16 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--onsetTolerance", default=0.05, type=float)
     ap.add_argument("--outputJSON", default=None)
+    ap.add_argument(
+        "--noPedalExtension", action="store_true",
+        help="evaluate against key-release GT offsets instead of "
+        "pedal-extended ones.  MUST match the convention the training "
+        "pickles were built with (create_dataset_maestro extends by "
+        "default; ref createDatasetMaestro.py:16-20 likewise).  Round 4 "
+        "hard-coded the no-extension convention here, which mismeasured "
+        "a pedal-extended-trained model's offsets as 0.576 when they "
+        "were 0.944 under the matching convention.",
+    )
     args = ap.parse_args(argv)
 
     from transkun_tpu.utils.jax_setup import setup_cache
@@ -76,10 +86,11 @@ def main(argv=None):
     from transkun_tpu.cli.compute_metrics import main as metrics_main
 
     out_json = args.outputJSON or os.path.join(args.estDIR, "metrics.json")
-    metrics_main(
-        [args.estDIR, args.corpus, "--outputJSON", out_json,
-         "--onsetTolerance", str(args.onsetTolerance), "--noPedalExtension"]
-    )
+    metrics_args = [args.estDIR, args.corpus, "--outputJSON", out_json,
+                    "--onsetTolerance", str(args.onsetTolerance)]
+    if args.noPedalExtension:
+        metrics_args.append("--noPedalExtension")
+    metrics_main(metrics_args)
     with open(out_json) as f:
         agg = json.load(f)["aggregated"]
     # each metric aggregates as [precision, recall, f1, overlap]
@@ -89,6 +100,11 @@ def main(argv=None):
         "note_offset_f1": round(agg["note+offset"][2], 4),
         "note_velocity_f1": round(agg["note+velocity"][2], 4),
         "frame_f1": round(agg["frame"][2], 4) if "frame" in agg else None,
+        "pedal_f1": round(agg["pedal64"][2], 4) if "pedal64" in agg else None,
+        "pedal_offset_f1": (
+            round(agg["pedal64+offset"][2], 4)
+            if "pedal64+offset" in agg else None
+        ),
         "detail_json": out_json,
     }))
 

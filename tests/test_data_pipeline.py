@@ -186,6 +186,16 @@ def test_checkpoint_crash_safe_overwrite(tmp_path):
     save_checkpoint(path, state, extra={"epoch": 3})  # clears stale .new
     assert load_checkpoint(path)["extra"]["epoch"] == 3
 
+    # crash window B': .new written completely, crash BEFORE the swap began —
+    # path (older) and .new (newer) BOTH exist; resume must take .new
+    # (ADVICE r4: preferring path silently discarded the newest save)
+    save_dir = str(tmp_path / "stage0")
+    save_checkpoint(save_dir, state, extra={"epoch": 9})
+    shutil.move(save_dir, path + ".new")
+    assert load_checkpoint(path)["extra"]["epoch"] == 9  # .new wins over path
+    shutil.rmtree(path + ".new")
+    assert load_checkpoint(path)["extra"]["epoch"] == 3
+
     # crash window B: mid-swap — target renamed away, .new complete
     save_dir = str(tmp_path / "stage")
     save_checkpoint(save_dir, state, extra={"epoch": 4})

@@ -72,6 +72,26 @@ WORKER = textwrap.dedent(
             np.asarray(a), mesh, P("dp")
         )
 
+    # label-K agreement under rank-divergent density (ADVICE r4 medium):
+    # rank 0 sees a dense 17-event trill on one pitch, rank 1 the sparse
+    # chunk.  Without k_sync rank 0 would grow K to 32 while rank 1 stays
+    # at 8 — inconsistent global shapes for the SPMD step.  The
+    # allgather-max hook (exactly what cli/train.py wires) must make both
+    # ranks grow to the same bucket.
+    def k_sync(d):
+        return int(np.max(multihost_utils.process_allgather(
+            np.asarray(d, np.int32))))
+
+    dense = (
+        [[Note(0.01 + 0.05 * j, 0.03 + 0.05 * j, 60, 80) for j in range(17)]]
+        * 2
+        if rank == 0 else notes
+    )
+    lb = encode_batch(dense, 64 / 4000, model.targetMIDIPitch, 8,
+                      k_sync=k_sync)
+    ks = multihost_utils.process_allgather(np.int32(lb.begins.shape[-1]))
+    assert ks[0] == ks[1] == 32, ks
+
     for i in range(2):
         state, metrics = step(
             state, to_global(frames),

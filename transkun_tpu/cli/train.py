@@ -244,6 +244,17 @@ def main(argv=None):
                 if args.deviceData == "on":
                     raise
                 print(f"device dataset unavailable ({e}); using host loader")
+            except jax.errors.JaxRuntimeError as e:
+                # the device_put of the packed corpus can fail with an XLA
+                # RESOURCE_EXHAUSTED even when the size guard passed — the
+                # guard can't see HBM already held by params/optimizer
+                # (ADVICE r4).  auto falls back to the host loader; an
+                # explicit `on` surfaces the real error.
+                if args.deviceData == "on" or "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                device_data = None
+                print(f"device corpus does not fit HBM ({type(e).__name__}); "
+                      "using host loader")
 
     def _frame(x):
         if x.dtype == jnp.int16:  # device-side dequantize (static under jit)
@@ -265,6 +276,23 @@ def main(argv=None):
     # the training slicer normalizes by iinfo.max = 32767 (ref Data.py:416-419
     # convention), NOT read_audio's 2^15 — the link scale must match
     LINK_SCALE = 32767.0
+
+    if multi_host:
+        # label K auto-grow must agree across processes: a dense chunk on one
+        # rank would otherwise give the SPMD step rank-dependent global
+        # shapes (crash or collective hang).  Allgather-max the densest
+        # count so every rank grows to the same bucket; all ranks step the
+        # loader in lockstep (equal shard lengths, drop_last), so this
+        # collective is always matched.
+        from jax.experimental import multihost_utils
+
+        def k_sync(densest: int) -> int:
+            return int(
+                np.max(multihost_utils.process_allgather(
+                    np.asarray(densest, np.int32)))
+            )
+    else:
+        k_sync = None
 
     global_step = int(state.step)
     for epoch in range(start_epoch, args.maxEpoch):
@@ -319,7 +347,7 @@ def main(argv=None):
                 )
             labels = encode_batch(
                 notes_batch, conf.hopSize / conf.fs, model.targetMIDIPitch,
-                args.maxEvents,
+                args.maxEvents, k_sync=k_sync,
             )
             if multi_host:
                 frames = to_global(np.asarray(frames))

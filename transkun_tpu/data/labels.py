@@ -120,6 +120,7 @@ def encode_batch(
     hop_size_in_second: float,
     target_pitch: Sequence[int],
     max_events: int = 32,
+    k_sync=None,
 ) -> PaddedLabels:
     """Encode a batch of note lists into padded [N, P, K] label tensors.
 
@@ -129,6 +130,15 @@ def encode_batch(
     multiple of 16 instead of failing mid-epoch; the grown shape costs one
     extra XLA compile of the train step per bucket, which is why growth is
     bucketed rather than exact.
+
+    ``k_sync``: in MULTI-PROCESS training the grown K must agree across
+    processes — each process sees different chunks, and a K that differs by
+    rank gives the SPMD step inconsistent global shapes (a crash or
+    collective hang, not an error message).  Pass a callable mapping the
+    local densest-track count to the global one (e.g. an allgather-max over
+    processes; ``cli/train.py`` wires ``multihost_utils.process_allgather``);
+    every process then grows to the same bucket.  ``None`` (single-process)
+    uses the local count directly.
     """
     n = len(notes_batch)
     p = len(target_pitch)
@@ -139,6 +149,8 @@ def encode_batch(
     densest = max(
         (len(ivs) for data in per_item for ivs in data["intervals"]), default=0
     )
+    if k_sync is not None:
+        densest = int(k_sync(densest))
     k = max_events
     if densest > k:
         k = -(-densest // 16) * 16  # next multiple of 16

@@ -37,6 +37,17 @@ def init_distributed() -> bool:
     Returns True if a multi-process runtime was initialized.  Must be called
     before the first jax backend use.  No-op (False) for single-host runs.
     """
+    def _already_initialized(err: RuntimeError) -> bool:
+        # Only the intended benign case is suppressed (a second cli
+        # invocation in one process, e.g. train -> resume within a test).
+        # A genuine failure — coordinator unreachable, bad env — must NOT
+        # let a rank silently continue as a single-process run while the
+        # job expected multi-host (ADVICE r4): re-raise everything else.
+        return "already initialized" in str(err).lower() or (
+            getattr(jax.distributed, "is_initialized", None) is not None
+            and jax.distributed.is_initialized()
+        )
+
     coord = os.environ.get("JAX_COORDINATOR")
     if coord:
         try:
@@ -45,10 +56,9 @@ def init_distributed() -> bool:
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
                 process_id=int(os.environ["JAX_PROCESS_ID"]),
             )
-        except RuntimeError:
-            # already joined (a second cli invocation in one process, e.g.
-            # train -> resume within a test) — the runtime persists
-            pass
+        except RuntimeError as e:
+            if not _already_initialized(e):
+                raise
         return True
     # TPU pod runtime env (one process per host, auto-discovered).  A
     # single-entry worker list (e.g. TPU_WORKER_HOSTNAMES=localhost on a
@@ -59,10 +69,12 @@ def init_distributed() -> bool:
     ):
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            # backend already up (e.g. under a test harness) — stay
-            # single-process rather than crash
-            return False
+        except RuntimeError as e:
+            if not _already_initialized(e):
+                raise
+            # the runtime (or a local backend under a test harness) is
+            # already up — report whether it is actually multi-process
+            return jax.process_count() > 1
         return True
     return False
 

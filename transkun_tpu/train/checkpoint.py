@@ -82,11 +82,14 @@ def load_checkpoint(path: str, to_host: bool = True) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path.rstrip("/"))
-    # crash-recovery order (see save_checkpoint): a missing/incomplete
-    # ``path`` means a save crashed mid-swap — ``path.new`` (newer, complete
-    # before the swap began) then ``path.old`` (the pre-save state) hold a
-    # complete checkpoint
-    candidates = [path, path + ".new", path + ".old"]
+    # crash-recovery order (see save_checkpoint): ``path.new`` exists only
+    # when a save crashed between writing it and completing the rename swap,
+    # and in that window it is ALWAYS newer than ``path`` — so a readable
+    # ``.new`` is preferred over ``path`` (ADVICE r4: preferring ``path``
+    # silently resumed from the older state).  An INCOMPLETE ``.new`` (crash
+    # mid-write) fails its restore and the loop falls through to ``path``;
+    # ``path.old`` (the pre-save state) is the last resort.
+    candidates = [path + ".new", path, path + ".old"]
     existing = [p for p in candidates if os.path.isdir(p)]
     if not existing:
         raise FileNotFoundError(f"Checkpoint at {path} not found.")
