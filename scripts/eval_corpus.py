@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--onsetTolerance", default=0.05, type=float)
     ap.add_argument("--outputJSON", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="pin the jax backend (e.g. 'cpu'); must be set "
+                    "before backend init — the axon plugin ignores the "
+                    "JAX_PLATFORMS env var")
     ap.add_argument(
         "--noPedalExtension", action="store_true",
         help="evaluate against key-release GT offsets instead of "
@@ -41,6 +45,11 @@ def main(argv=None):
         "were 0.944 under the matching convention.",
     )
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from transkun_tpu.utils.jax_setup import setup_cache
 

@@ -32,7 +32,15 @@ from transkun_tpu.data.note import Note, resolve_overlapping  # noqa: E402
 FS = 44100
 
 
-def synth_piece(rng: np.random.Generator, dur: float, sustain: bool = True):
+def synth_piece(
+    rng: np.random.Generator,
+    dur: float,
+    sustain: bool = True,
+    n_partials: int = 6,
+    pitch_lo: int = 36,
+    pitch_hi: int = 96,
+    fs: int = FS,
+):
     """Random polyphonic piece: returns (float32 audio, note list).
 
     With ``sustain=True`` the pedal is rendered acoustically, so pedal events
@@ -46,12 +54,22 @@ def synth_piece(rng: np.random.Generator, dur: float, sustain: bool = True):
       every ringing tail;
     - pedal press/release each add a faint low-passed mechanical thump
       (dampers lifting off / returning to the strings — the cue real models
-      pick up in MAESTRO recordings)."""
+      pick up in MAESTRO recordings).
+
+    ``n_partials``/``pitch_lo``/``pitch_hi`` tune identifiability and pitch
+    balance.  Round-5 error analysis (scripts/error_analysis.py on the
+    round-4 fine-tune) found 2/3 of all onset errors were +-1..5-semitone
+    substitutions in the bass register: with only 6 partials at 1/k^2
+    rolloff, adjacent bass semitones are ~1 FFT bin apart even at the 6th
+    harmonic — unresolvable by construction, unlike a real piano's 20+
+    partials.  The bass was also undersampled (center ~ U(36,96) leaves
+    pitch<45 at 14% of onsets).  Pass ``n_partials=16, pitch_lo=24,
+    pitch_hi=105`` for a corpus whose bass is identifiable and balanced."""
     notes = []
     t = float(rng.uniform(0.2, 0.6))
     while t < dur - 1.0:
         # a "hand": 1-4 simultaneous notes around a random center
-        center = int(rng.integers(36, 96))
+        center = int(rng.integers(pitch_lo, pitch_hi))
         n_poly = int(rng.integers(1, 5))
         pitches = np.unique(
             np.clip(center + rng.integers(-12, 13, size=n_poly), 21, 108)
@@ -95,21 +113,21 @@ def synth_piece(rng: np.random.Generator, dur: float, sustain: bool = True):
                 render_end[i] = nxt
             next_onset[n.pitch] = n.start
 
-    x = np.zeros(int(dur * FS), np.float32)
-    tt = np.arange(len(x), dtype=np.float32) / FS
+    x = np.zeros(int(dur * fs), np.float32)
+    tt = np.arange(len(x), dtype=np.float32) / fs
     release_s = 0.03  # damper fall time
     for n, rend in zip(key_notes, render_end):
         f0 = 440.0 * 2.0 ** ((n.pitch - 69) / 12.0)
-        rend = min(rend + release_s, dur - 1.0 / FS)
-        i0, i1 = int(n.start * FS), int(rend * FS)
+        rend = min(rend + release_s, dur - 1.0 / fs)
+        i0, i1 = int(n.start * fs), int(rend * fs)
         seg_t = tt[i0:i1] - np.float32(n.start)
         amp = 0.08 * (n.velocity / 127.0)
         # velocity-dependent decay, faster for high pitches (piano-ish)
         decay = np.exp(-seg_t * (1.5 + f0 / 2000.0)).astype(np.float32)
         tone = np.zeros_like(seg_t)
-        for k in range(1, 7):
+        for k in range(1, n_partials + 1):
             fk = f0 * k
-            if fk >= FS / 2:
+            if fk >= fs / 2:
                 break
             tone += (1.0 / k**2) * np.sin(
                 2 * np.pi * fk * seg_t + float(rng.uniform(0, 2 * np.pi))
@@ -126,11 +144,11 @@ def synth_piece(rng: np.random.Generator, dur: float, sustain: bool = True):
         # and (slightly stronger) release
         from scipy.signal import lfilter
 
-        n_th = int(0.025 * FS)
-        env = np.exp(-np.arange(n_th, dtype=np.float32) / (0.006 * FS))
+        n_th = int(0.025 * fs)
+        env = np.exp(-np.arange(n_th, dtype=np.float32) / (0.006 * fs))
         for ps, pe in pedal_segs:
             for t_ev, gain in ((ps, 0.030), (pe, 0.045)):
-                i0 = int(t_ev * FS)
+                i0 = int(t_ev * fs)
                 if i0 + n_th >= len(x):
                     continue
                 burst = rng.normal(0, 1.0, n_th).astype(np.float32)
@@ -156,6 +174,19 @@ def main(argv=None):
     ap.add_argument("--noSustainRender", action="store_true",
                     help="round-3 behavior: pedal in MIDI only, not rendered "
                     "into the audio (pedal tracks unobservable)")
+    ap.add_argument("--partials", type=int, default=6,
+                    help="harmonics per note (band-limited at Nyquist). "
+                    "16 makes bass semitones resolvable like a real piano; "
+                    "6 is the round-3/4 corpus")
+    ap.add_argument("--pitchLo", type=int, default=36,
+                    help="lower bound of the 'hand' center distribution")
+    ap.add_argument("--pitchHi", type=int, default=96,
+                    help="upper bound of the 'hand' center distribution")
+    ap.add_argument("--fs", type=int, default=FS,
+                    help="sample rate of the rendered wavs.  The dataset "
+                    "builder probes the wav header, so training just needs a "
+                    "model conf with matching fs (the CPU-scale accuracy "
+                    "certificate uses 4000)")
     args = ap.parse_args(argv)
 
     from transkun_tpu.data.midi import write_midi
@@ -172,10 +203,12 @@ def main(argv=None):
         wav = f"{year}/synth{i:03d}.wav"
         mid = f"{year}/synth{i:03d}.midi"
         audio, notes = synth_piece(
-            rng, args.dur, sustain=not args.noSustainRender
+            rng, args.dur, sustain=not args.noSustainRender,
+            n_partials=args.partials, pitch_lo=args.pitchLo,
+            pitch_hi=args.pitchHi, fs=args.fs,
         )
         wavfile.write(
-            os.path.join(root, wav), FS,
+            os.path.join(root, wav), args.fs,
             (audio * 32000).astype(np.int16),
         )
         write_midi(

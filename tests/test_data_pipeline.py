@@ -437,3 +437,22 @@ def test_device_dataset_sharded_slicing(pickle_dataset):
     out = dd_mesh.slice_batch(starts)
     assert {d.id for d in out.devices()} == {d.id for d in mesh.devices.flat}
     np.testing.assert_array_equal(np.asarray(out), np.asarray(dd.slice_batch(starts)))
+
+
+@pytest.mark.quick
+def test_host_loader_leak_warning():
+    """The tunneled-chip host-loader warning (VERDICT r4 item 6): quantified
+    projection on the leaky backend, silent everywhere else."""
+    from transkun_tpu.utils.leak_guard import host_loader_leak_warning
+
+    bps = 5_600_000  # ~the flagship B=2 int16 batch
+    ram = 128 * 2**30
+    msg = host_loader_leak_warning("axon", bps, ram_bytes=ram)
+    assert msg is not None and "WARNING" in msg
+    assert f"~{ram // bps:,} steps" in msg  # projected OOM horizon
+    assert "--deviceData" in msg  # points at the fix
+    # real TPU/CPU backends don't leak — no warning noise
+    assert host_loader_leak_warning("tpu", bps, ram_bytes=ram) is None
+    assert host_loader_leak_warning("cpu", bps, ram_bytes=ram) is None
+    # degenerate payloads never divide by zero
+    assert host_loader_leak_warning("axon", 0, ram_bytes=ram) is None

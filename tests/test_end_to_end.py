@@ -6,6 +6,7 @@ import csv
 import json
 import os
 import sys
+from collections import defaultdict
 
 import numpy as np
 import pytest
@@ -479,3 +480,87 @@ def test_train_device_data_matches_host_loader(corpus, tmp_path):
     flat_b = dict(jax.tree_util.tree_leaves_with_path(b["params"]))
     for path, leaf in flat_a:
         np.testing.assert_array_equal(leaf, flat_b[path], err_msg=str(path))
+
+
+def test_fused_decode_midpiece_overflow_fallback(corpus):
+    """VERDICT r4 item 8: a piece that overflows the fused budget MID-piece
+    must equal the pure host path.  First groups assemble on the fast path;
+    from the first overflowing group on, the host walk resumes with the
+    forcedStartPos state the device chain carried to that point (nonzero,
+    because earlier groups decoded events)."""
+    import jax
+
+    from transkun_tpu.models import TransKun
+    from transkun_tpu.models.config import ModelConfig
+
+    conf = ModelConfig.from_dict(TINY_CONF["Model"]["config"])
+    model = TransKun(conf)
+    params = model.init(jax.random.PRNGKey(0), n_frames=126)
+    # random weights fire singleton events on every frame of every track,
+    # which overflows ANY budget at group 0; bias the scorer diagonal
+    # negative (as bench.py does) so decoded counts are storm-driven
+    bias = np.asarray(params["params"]["scorer"]["map"]["bias"]).copy()
+    bias[-1] = -8.0
+    params["params"]["scorer"]["map"]["bias"] = bias
+
+    # a ~50 note/s storm with drifting density so group event counts vary
+    rng = np.random.default_rng(3)
+    dur = 10.0
+    x = np.zeros(int(dur * FS), np.float32)
+    tt = np.arange(len(x)) / FS
+    t = 0.1
+    while t < dur - 0.3:
+        f0 = 440 * 2 ** ((int(rng.integers(40, 90)) - 69) / 12)
+        if f0 < FS / 2:
+            env = ((tt >= t) & (tt < t + 0.12)).astype(np.float32)
+            x += 0.08 * env * np.sin(2 * np.pi * f0 * tt).astype(np.float32)
+        t += 0.015 + 0.02 * (t / dur)  # densest at the start of the piece
+    audio = np.clip(x, -1, 1)[:, None]
+    audio = np.round(audio * 32768).clip(-32768, 32767) / np.float32(32768)
+    audio = audio.astype(np.float32)
+
+    # discover per-group compact event counts with the roomy default budget
+    model.transcribe(params, audio)
+    counts = model.last_transcribe_group_counts
+    assert model.last_transcribe_fallback_from is None
+    later_max = max(counts[1:])
+    # a budget that passes group 0 but trips a later group mid-piece
+    assert counts[0] < later_max, counts
+    budget = max(counts[0], later_max - 1)
+
+    m_mid = TransKun(conf)
+    m_mid.decode_k_budget = budget
+    notes_mid = m_mid.transcribe(params, audio)
+    fb = m_mid.last_transcribe_fallback_from
+    assert fb is not None and fb > 0, (fb, counts, budget)
+    # the fused prefix really decoded events => the carried start positions
+    # at the fallback boundary were nonzero
+    assert any(n.start < fb * conf.segmentHopSizeInSecond for n in notes_mid)
+
+    m_host = TransKun(conf)
+    m_host.decode_k_budget = 1  # overflows at group 0 -> pure host path
+    notes_host = m_host.transcribe(params, audio)
+    assert m_host.last_transcribe_fallback_from == 0
+
+    assert len(notes_mid) == len(notes_host) > 0
+    # the fused path computes event times as f32 frame*hop on device; the
+    # host walk multiplies in f64 — times agree only to ~1e-6 s, which can
+    # flip the global (start, pitch) sort between the two lists.  Same-pitch
+    # notes are always >= a frame (8 ms) apart after resolve_overlapping, so
+    # pair them per pitch by order and compare with a 1e-4 s tolerance.
+    def by_pitch(notes):
+        d = defaultdict(list)
+        for n in notes:
+            d[n.pitch].append(n)
+        return d
+
+    mid_p, host_p = by_pitch(notes_mid), by_pitch(notes_host)
+    assert set(mid_p) == set(host_p)
+    for p in mid_p:
+        assert len(mid_p[p]) == len(host_p[p]), p
+        for a, b in zip(mid_p[p], host_p[p]):
+            assert (a.velocity, a.hasOnset, a.hasOffset) == (
+                b.velocity, b.hasOnset, b.hasOffset
+            ), p
+            assert abs(a.start - b.start) < 1e-4, (p, a.start, b.start)
+            assert abs(a.end - b.end) < 1e-4, (p, a.end, b.end)

@@ -91,7 +91,25 @@ def main(argv=None):
                         "representable (un-augmented wav audio is); 'force' "
                         "rounds+clips (augmented audio; quant noise ~-90 dB, "
                         "far below the augmentation chain's)")
+    parser.add_argument("--platform", default=None,
+                        help="pin the jax backend (e.g. 'cpu').  Goes through "
+                        "jax.config BEFORE backend init — the axon TPU plugin "
+                        "in this environment ignores the JAX_PLATFORMS env "
+                        "var.  Used by scripts/accuracy_certificate.py for "
+                        "the CPU-scale certificate")
+    parser.add_argument("--stopAtStep", default=None, type=int,
+                        help="hard-stop after this many global steps (a final "
+                        "checkpoint is saved first).  --nIter only SIZES the "
+                        "OneCycle schedule (reference semantics); bounded "
+                        "runs — the accuracy certificate, smoke schedules — "
+                        "need an explicit step cap instead of computing a "
+                        "matching maxEpoch")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
 
     from ..utils.jax_setup import setup_cache
 
@@ -255,6 +273,17 @@ def main(argv=None):
                 device_data = None
                 print(f"device corpus does not fit HBM ({type(e).__name__}); "
                       "using host loader")
+
+    if device_data is None and rank == 0:
+        from ..utils.leak_guard import host_loader_leak_warning
+
+        msg = host_loader_leak_warning(
+            backend=jax.default_backend(),
+            bytes_per_step=n_chunk_samples * local_batch
+            * (2 if args.linkInt16 != "off" else 4),
+        )
+        if msg:
+            print(msg, flush=True)
 
     def _frame(x):
         if x.dtype == jnp.int16:  # device-side dequantize (static under jit)
@@ -447,6 +476,20 @@ def main(argv=None):
                     )
                     print("saved", flush=True)
             global_step += 1
+            if args.stopAtStep is not None and global_step >= args.stopAtStep:
+                break
+
+        if args.stopAtStep is not None and global_step >= args.stopAtStep:
+            ckpt_state = jax.device_get(state) if multi_host else state
+            if rank == 0:
+                save_checkpoint(
+                    ckpt_path, ckpt_state, best_params,
+                    {"loss_tracker": loss_tracker, "epoch": epoch,
+                     "run_seed": run_seed},
+                )
+                print(f"stopAtStep {args.stopAtStep} reached; saved",
+                      flush=True)
+            break
 
         # distributed validation: every rank validates its own loader shard
         # over its LOCAL devices, then the 5-vector is summed across

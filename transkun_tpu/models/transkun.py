@@ -1602,6 +1602,10 @@ class TransKun:
                 fallback_from = g_idx
                 n_ok = g_idx
                 break
+        # introspection for tests/diagnostics: which group (if any) tripped
+        # the overflow fallback, and each group's compacted event count
+        self.last_transcribe_fallback_from = fallback_from
+        self.last_transcribe_group_counts = [int(f[6]) for f in fetched]
         if n_ok:
             # ONE scatter of every group's compact event buffer into
             # [n_ok*segment_batch, P, K] host arrays and ONE vectorized
