@@ -564,3 +564,115 @@ def test_fused_decode_midpiece_overflow_fallback(corpus):
             ), p
             assert abs(a.start - b.start) < 1e-4, (p, a.start, b.start)
             assert abs(a.end - b.end) < 1e-4, (p, a.end, b.end)
+
+
+def test_maestro_v3_json_pipeline(tmp_path):
+    """MAESTRO-readiness dry run (VERDICT r4 item 9): a fabricated mini
+    MAESTRO v3 tree — column-major json metadata exactly as shipped in
+    ``maestro-v3.0.0.json`` (string-int row keys, int ``year``), STEREO
+    wavs, real split names and v3-style filenames — through the full
+    production loop:
+    dataset-build CLI (json dispatch) -> training CLI -> transcribe CLI ->
+    metrics CLI.  Proves nothing stumbles on v3 metadata shape or stereo
+    audio the day real data appears."""
+    root = tmp_path / "maestro-v3.0.0"
+    rng = np.random.default_rng(5)
+    cols = {k: {} for k in (
+        "canonical_composer", "canonical_title", "split", "year",
+        "midi_filename", "audio_filename", "duration",
+    )}
+    for i, split in enumerate(["train", "train", "validation", "test"]):
+        year = 2017 + i
+        os.makedirs(root / str(year), exist_ok=True)
+        wav = f"{year}/MIDI-Unprocessed_{i:02d}_R1_2017_wav.wav"
+        mid = f"{year}/MIDI-Unprocessed_{i:02d}_R1_2017_wav.midi"
+        notes = _synth_piece(rng, str(root / wav), str(root / mid), dur=6.0)
+        # rewrite as stereo: decorrelate the channels slightly so a
+        # mono-only reader would produce different samples than either
+        fs, mono = wavfile.read(str(root / wav))
+        right = np.roll(mono, 7)
+        wavfile.write(str(root / wav), fs,
+                      np.stack([mono, right], axis=1))
+        row = str(i)
+        cols["canonical_composer"][row] = "synthetic"
+        cols["canonical_title"][row] = f"piece {i}"
+        cols["split"][row] = split
+        cols["year"][row] = year  # int in v3, not str
+        cols["midi_filename"][row] = mid
+        cols["audio_filename"][row] = wav
+        cols["duration"][row] = 6.0
+    meta = root / "maestro-v3.0.0.json"
+    with open(meta, "w") as f:
+        json.dump(cols, f)
+
+    # 1. dataset build CLI dispatches on the .json extension
+    from transkun_tpu.cli.create_dataset_maestro import main as build_main
+
+    out = tmp_path / "data"
+    build_main([str(root), str(meta), str(out)])
+    for name, n in [("train", 2), ("val", 1), ("test", 1)]:
+        assert (out / f"{name}.pickle").exists()
+    import pickle
+
+    with open(out / "train.pickle", "rb") as f:
+        train_rows = pickle.load(f)
+    assert len(train_rows) == 2
+    assert train_rows[0]["nChannel"] == 2
+    assert train_rows[0]["fs"] == FS
+
+    # 2. a few training steps through the production trainer (stereo chunks)
+    conf_path = tmp_path / "tiny.conf"
+    with open(conf_path, "w") as f:
+        json.dump(TINY_CONF, f)
+
+    from transkun_tpu.cli.train import main as train_main
+
+    ckpt = tmp_path / "ckpt"
+    train_main(
+        [
+            str(ckpt),
+            "--datasetPath", str(root),
+            "--datasetMetaFile_train", str(out / "train.pickle"),
+            "--datasetMetaFile_val", str(out / "val.pickle"),
+            "--modelConf", str(conf_path),
+            "--batchSize", "2",
+            "--maxEpoch", "1",
+            "--nDevices", "2",
+            "--nIter", "100",
+            "--statsEvery", "0",
+            "--maxEvents", "16",
+            "--stopAtStep", "6",
+        ]
+    )
+    assert ckpt.exists()
+
+    # 3. transcribe the held-out stereo test piece with the checkpoint
+    from transkun_tpu.cli.transcribe import main as transcribe_main
+
+    est_dir = tmp_path / "est" / "2020"
+    os.makedirs(est_dir)
+    test_wav = cols["audio_filename"]["3"]
+    transcribe_main(
+        [
+            str(root / test_wav),
+            str(est_dir / "piece3.midi"),
+            "--weight", str(ckpt),
+            "--conf", str(conf_path),
+        ]
+    )
+
+    # 4. metrics CLI est-vs-GT runs end to end on the result
+    from transkun_tpu.cli.compute_metrics import main as metrics_main
+
+    gt_dir = tmp_path / "gt" / "2020"
+    os.makedirs(gt_dir)
+    import shutil
+
+    shutil.copy(root / cols["midi_filename"]["3"], gt_dir / "piece3.midi")
+    out_json = tmp_path / "metrics.json"
+    metrics_main(
+        [str(tmp_path / "est"), str(tmp_path / "gt"),
+         "--outputJSON", str(out_json)]
+    )
+    metrics = json.load(open(out_json))
+    assert "note" in metrics["aggregated"]

@@ -1,7 +1,13 @@
 """Dataset-build CLI (counterpart of ``python3 -m transkun.createDatasetMaestro``):
-MAESTRO csv metadata -> {train,val,test}.pickle annotation files.
+MAESTRO metadata -> {train,val,test}.pickle annotation files.
 
-    python -m transkun_tpu.cli.create_dataset_maestro maestroDIR meta.csv outDIR
+    python -m transkun_tpu.cli.create_dataset_maestro maestroDIR meta.csv  outDIR
+    python -m transkun_tpu.cli.create_dataset_maestro maestroDIR meta.json outDIR
+
+A ``.json`` metadata file is parsed as the MAESTRO v3 layout (column-major
+``maestro-v3.0.0.json``; row-major lists also accepted), anything else as the
+v1/v2 csv (ref ``createDatasetMaestro.py:9-51`` reads csv only — v3 json
+support is an extension so the shipped v3 tree works unconverted).
 """
 
 from __future__ import annotations
@@ -14,7 +20,9 @@ import pickle
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("datasetPath", help="folder path of the maestro dataset")
-    parser.add_argument("metadataCSVPath", help="path to the maestro metadata csv")
+    parser.add_argument("metadataCSVPath",
+                        help="path to the maestro metadata file (csv, or the "
+                        "v3 json — dispatched on the .json extension)")
     parser.add_argument("outputPath", help="output folder for the pickles")
     parser.add_argument(
         "--noPedalExtension", action="store_true",
@@ -22,9 +30,17 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
-    from ..data.dataset import create_dataset_maestro_csv
+    from ..data.dataset import (
+        create_dataset_maestro_csv,
+        create_dataset_maestro_json,
+    )
 
-    dataset = create_dataset_maestro_csv(
+    build = (
+        create_dataset_maestro_json
+        if args.metadataCSVPath.lower().endswith(".json")
+        else create_dataset_maestro_csv
+    )
+    dataset = build(
         args.datasetPath, args.metadataCSVPath,
         extend_sustain_pedal=not args.noPedalExtension,
     )
